@@ -1,0 +1,147 @@
+"""Graph kernels vs NumPy/pure-Python oracles.
+
+Mirrors the reference's exact-expected-value kernel tests
+(``internal/app/embedding/similarity/calculator_test.go:28-198``): small
+hand-built graphs with analytically known answers (FIXTURES.md §6), plus the
+full synthetic transcript-derived graph cross-checked against the oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oracle.graph_oracle import cc_oracle, lpa_oracle, pagerank_oracle, triangle_oracle
+from tiktok_whisper_spark import datagen
+from tiktok_whisper_spark.graph import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_counts,
+)
+from tiktok_whisper_spark.operators.edges import derive_edges
+
+
+def _edges_df(spark, triples):
+    return spark.createDataFrame(
+        [(int(s), int(d), float(w)) for s, d, w in triples],
+        "src long, dst long, weight double",
+    ).withColumn("etype", F.lit("test"))
+
+
+# 4-node directed cycle + 1 dangling vertex hanging off node 1 (FIXTURES §6)
+CYCLE_DANGLING = [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (4, 1, 1.0), (1, 5, 1.0)]
+# two disjoint cliques K3 (1,2,3) and K4 (10,11,12,13)
+TWO_CLIQUES = [
+    (1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0),
+    (10, 11, 1.0), (10, 12, 1.0), (10, 13, 1.0),
+    (11, 12, 1.0), (11, 13, 1.0), (12, 13, 1.0),
+]
+# bipartite star: many roles → one hub tool (salting path) + side edge
+HUB_STAR = [(i, 1000, 1.0) for i in range(1, 200)] + [(1000, 1, 2.0), (7, 8, 1.0)]
+# weighted asymmetric graph
+WEIGHTED = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0), (4, 1, 5.0), (2, 4, 1.0)]
+
+GRAPHS = {
+    "cycle_dangling": CYCLE_DANGLING,
+    "two_cliques": TWO_CLIQUES,
+    "hub_star": HUB_STAR,
+    "weighted": WEIGHTED,
+}
+
+
+@pytest.fixture(scope="module")
+def transcript_edges(spark):
+    """Small synthetic transcript graph, collected once (role/tool vertices)."""
+    t = datagen.transcripts(spark, n_convs=60, seed=42)
+    df = derive_edges(t).persist()
+    rows = [(r["src"], r["dst"], r["weight"]) for r in df.collect()]
+    return df, rows
+
+
+@pytest.mark.parametrize(
+    "name,mode",
+    [(n, "arrow") for n in GRAPHS] + [("hub_star", "sql"), ("weighted", "sql")],
+)
+def test_pagerank_matches_oracle(spark, name, mode, tmp_path):
+    triples = GRAPHS[name]
+    # force the salting path on the hub graph with a low threshold
+    hot = 50 if name == "hub_star" else None
+    run = pagerank(
+        _edges_df(spark, triples),
+        scatter_mode=mode,
+        hot_threshold=hot,
+        store=None,
+        checkpoint_every=25,
+    )
+    got = {r["vid"]: r["rank"] for r in run.state.collect()}
+    want = pagerank_oracle(triples)
+    assert run.converged
+    assert set(got) == set(want)
+    np.testing.assert_allclose(
+        [got[v] for v in sorted(got)], [want[v] for v in sorted(want)], atol=1e-6
+    )
+    # rank mass is conserved (dangling redistribution correct)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+@pytest.mark.parametrize("name", list(GRAPHS))
+def test_cc_matches_oracle(spark, name):
+    triples = GRAPHS[name]
+    run = connected_components(_edges_df(spark, triples), checkpoint_every=10)
+    got = {r["vid"]: r["label"] for r in run.state.collect()}
+    assert run.converged
+    assert got == cc_oracle(triples)
+
+
+def test_cc_two_cliques_component_count(spark):
+    run = connected_components(_edges_df(spark, TWO_CLIQUES))
+    labels = {r["label"] for r in run.state.collect()}
+    assert labels == {1, 10}
+
+
+@pytest.mark.parametrize("name", list(GRAPHS))
+def test_lpa_matches_oracle(spark, name):
+    triples = GRAPHS[name]
+    run = label_propagation(_edges_df(spark, triples), max_iter=10, checkpoint_every=10)
+    got = {r["vid"]: r["label"] for r in run.state.collect()}
+    assert got == lpa_oracle(triples, max_iter=10)
+
+
+@pytest.mark.parametrize("name", list(GRAPHS))
+def test_triangles_match_oracle(spark, name):
+    triples = GRAPHS[name]
+    res = triangle_counts(_edges_df(spark, triples))
+    want_total, want_pv = triangle_oracle(triples)
+    got_pv = {r["vid"]: r["triangles"] for r in res.per_vertex.collect()}
+    assert res.total == want_total
+    assert got_pv == want_pv
+
+
+def test_triangles_known_values(spark):
+    res = triangle_counts(_edges_df(spark, TWO_CLIQUES))
+    assert res.total == 1 + 4  # K3 has 1 triangle, K4 has 4
+
+
+def test_transcript_graph_all_kernels(spark, transcript_edges):
+    """End-to-end: derived transcript graph matches every oracle."""
+    df, rows = transcript_edges
+    pr = pagerank(df, checkpoint_every=25)
+    assert pr.converged
+    got = {r["vid"]: r["rank"] for r in pr.state.collect()}
+    want = pagerank_oracle(rows)
+    np.testing.assert_allclose(
+        [got[v] for v in sorted(got)], [want[v] for v in sorted(want)], atol=1e-6
+    )
+
+    cc = connected_components(df, checkpoint_every=10)
+    assert {r["vid"]: r["label"] for r in cc.state.collect()} == cc_oracle(rows)
+
+    lpa = label_propagation(df, max_iter=8, checkpoint_every=10)
+    assert {r["vid"]: r["label"] for r in lpa.state.collect()} == lpa_oracle(rows, max_iter=8)
+
+    tri = triangle_counts(df)
+    want_total, want_pv = triangle_oracle(rows)
+    assert tri.total == want_total
+    assert {r["vid"]: r["triangles"] for r in tri.per_vertex.collect()} == want_pv

@@ -1,0 +1,16 @@
+"""Link-graph kernels: PageRank, connected components, LPA, triangles."""
+
+from .cc import connected_components
+from .lpa import label_propagation
+from .pagerank import pagerank
+from .runner import GraphRun, run_supersteps
+from .triangles import triangle_counts
+
+__all__ = [
+    "GraphRun",
+    "connected_components",
+    "label_propagation",
+    "pagerank",
+    "run_supersteps",
+    "triangle_counts",
+]

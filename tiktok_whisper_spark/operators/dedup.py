@@ -1,0 +1,256 @@
+"""Deduplication suite for training-data pipelines.
+
+The reference's duplicate detection is embedding-cosine only (``embed
+duplicates --threshold 0.95``, reference ``README.md:216``); a 100 TB corpus
+pipeline needs the full ladder, cheapest-first:
+
+* exact (fingerprint groupBy) — one shuffle on a 32-byte key;
+* word-n-gram Jaccard — shingle-join with stop-shingle suppression;
+* MinHash + LSH — signature/banding so near-dup candidate generation is a
+  bucket join instead of all-pairs;
+* SimHash — bitwise fingerprint, hamming-band candidates;
+* embedding-cosine — exact all-pairs (testable) + the blocked scale path.
+
+Determinism notes: MinHash uses ``min(md5(shingle || seed))`` — md5 emits
+identical lowercase hex in Spark and DuckDB, and lexicographic min over a
+uniform hash family is a valid MinHash, so the *driver oracle can verify
+signatures byte-for-byte*. SimHash uses xxhash64 (JVM-side) and is verified
+by property tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash",
+    "simhash_near_dups",
+    "embedding_near_dups",
+]
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups: ``(fp, n_copies, keep_id)``, keep = min id."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word-n-gram shingles per document: ``(doc_id, shingle)``.
+
+    Built with sequence+transform+explode — no Python. Normalization:
+    lowercase, whitespace-split.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)) - F.lit(0)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    # when fewer than n tokens, fall back to the whole text as one shingle
+    grams = F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All document pairs with n-gram Jaccard ≥ threshold: ``(a, b, jaccard)``.
+
+    Scale path: the shingle self-join explodes on stop-shingles (a shingle in
+    k docs yields k² pair rows) — ``max_doc_freq`` drops shingles more
+    frequent than the cap before the join, the standard suppression used at
+    corpus scale (slightly lowers recall, bounded by the cap choice).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    if max_doc_freq:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per doc: ``(doc_id, sig: array<string>)``.
+
+    Component k = ``min(md5(shingle || ':' || k))`` — one groupBy computes
+    all components (no per-hash passes); md5-hex min is engine-portable.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{k}")).cast("binary"))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*aggs)
+    return per_doc.select(
+        "doc_id", F.array(*[F.col(f"h{k}") for k in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """LSH banding: pairs sharing ≥1 band: ``(a, b, est_jaccard)``.
+
+    est_jaccard = fraction of equal signature components — the MinHash
+    estimator. Candidate generation is a bucket equi-join (shuffle on the
+    band hash), never all-pairs.
+    """
+    buckets = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws("|", F.slice("sig", b * rows_per_band + 1, rows_per_band)).cast("binary")
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    a = buckets.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bhash")
+    b = buckets.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "band", "bhash")
+    pairs = (
+        a.join(b, ["band", "bhash"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()
+    )
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    )
+    return pairs.select(
+        "a", "b", (matches.cast("double") / F.size("sig_a").cast("double")).alias("est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: ``(doc_id, simhash: long)``.
+
+    Token hash = xxhash64(token); bit i of the fingerprint is the sign of
+    Σ_tokens (±1 by token's bit i). One explode + one groupBy with ``bits``
+    conditional sums — all Catalyst, no Python.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    h = F.xxhash64("tok")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    fingerprint_col = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint_col = bit if fingerprint_col is None else fingerprint_col + bit
+    return sums.select("doc_id", fingerprint_col.alias("simhash"))
+
+
+def simhash_near_dups(
+    fps: DataFrame, bits: int = 32, chunks: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band on equal chunks, verify hamming ≤ k.
+
+    Pigeonhole: hamming ≤ chunks-1 guarantees one equal chunk, so candidate
+    generation is an equi-join on (chunk_idx, chunk_value).
+    """
+    width = bits // chunks
+    mask = (1 << width) - 1
+    chunked = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * width).bitwiseAND(F.lit(mask)).alias("cv"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.cv").alias("cv"))
+    a = chunked.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "chunk", "cv")
+    b = chunked.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "chunk", "cv")
+    cand = a.join(b, ["chunk", "cv"]).where(F.col("a") < F.col("b")).select("a", "b", "ha", "hb").distinct()
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("a", "b", hamming.alias("hamming")).where(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_dups(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicates (the reference's ``embed duplicates``,
+    ``README.md:216``): all pairs with cosine ≥ threshold, ``(a, b, cos)``.
+
+    Exact all-pairs self-join (a < b) — correct and oracle-checkable. At
+    corpus scale, candidates come from :func:`minhash_lsh_candidates` or a
+    random-hyperplane bucket join first, and this exact kernel verifies only
+    the candidates (same verify-the-candidates shape as SimHash above).
+    """
+    from ..functions.vector import cosine_expr
+
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", cosine_expr("va", "vb").alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
