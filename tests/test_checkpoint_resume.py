@@ -89,10 +89,11 @@ def test_torn_write_is_cleared(spark, tmp_path):
     """A state dir without a manifest (kill mid-write) is redone cleanly."""
     store = CheckpointStore(str(tmp_path / "ckpt"))
     df = spark.range(5).select(F.col("id").alias("vid"), F.lit(1.0).alias("rank"))
-    reloaded = store.write_state("torn", 0, df)  # no finalize → torn
+    store.write_state("torn", 0, df)  # no finalize → torn
     assert store.latest("torn") is None
     # retry commits fine
-    store.finalize("torn", 0, store.write_state("torn", 0, df), {"m": 1}, {})
+    store.write_state("torn", 0, df)
+    store.finalize("torn", 0, [{"partition_id": 0, "n_rows": 5, "checksum": 1}], {"m": 1}, {})
     assert store.latest("torn") == 0
 
 
@@ -108,11 +109,12 @@ def test_runner_generic_loop(spark, tmp_path):
     def step_fn(state, carry, k):
         return state.select("vid", (F.col("x") / 2).alias("x"), F.col("x").alias("prev_x"))
 
-    def measure_fn(reloaded, carry, k):
-        mx = reloaded.agg(F.max("x")).collect()[0][0]
+    def combine_fn(partials, carry, k):
+        mx = max(p["p_max_x"] for p in partials if p["p_max_x"] is not None)
         return {"max_x": mx}, {}, k > 0 and mx < 0.01
+
     out = run_supersteps(
         spark, store=store, run_id="halve", init_fn=init_fn, step_fn=step_fn,
-        measure_fn=measure_fn, max_iter=20,
+        partition_aggs=[F.max("x").alias("p_max_x")], combine_fn=combine_fn, max_iter=20,
     )
     assert out.converged and out.supersteps == 7  # 1/2^7 < 0.01

@@ -62,7 +62,7 @@ def transcript_edges(spark):
 
 @pytest.mark.parametrize(
     "name,mode",
-    [(n, "arrow") for n in GRAPHS] + [("hub_star", "sql"), ("weighted", "sql")],
+    [(n, "csr") for n in GRAPHS] + [("hub_star", "arrow"), ("weighted", "arrow"), ("hub_star", "sql"), ("weighted", "sql")],
 )
 def test_pagerank_matches_oracle(spark, name, mode, tmp_path):
     triples = GRAPHS[name]

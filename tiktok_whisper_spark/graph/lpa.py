@@ -91,17 +91,17 @@ def label_propagation(
             )
         )
 
-    def measure_fn(reloaded: DataFrame, carry: dict, k: int) -> tuple[dict, dict, bool]:
-        row = reloaded.agg(
-            F.count(F.when(F.col("label") != F.col("prev_label"), 1)).alias("changed"),
-            F.countDistinct("label").alias("n_labels"),
-        ).collect()[0]
-        converged = k > 0 and row["changed"] == 0
+    partition_aggs = [
+        F.count(F.when(F.col("label") != F.col("prev_label"), 1)).alias("p_changed"),
+    ]
+
+    def combine_fn(partials: list[dict], carry: dict, k: int) -> tuple[dict, dict, bool]:
+        changed = sum(p["p_changed"] for p in partials)
+        converged = k > 0 and changed == 0
         metrics = {
             "kernel": "label_propagation",
-            "changed": row["changed"],
-            "n_labels": row["n_labels"],
-            "active_vertices": row["changed"],
+            "changed": changed,
+            "active_vertices": changed,
             "edges_processed": pe.num_edges,
             "n_vertices": n,
         }
@@ -114,7 +114,8 @@ def label_propagation(
             run_id=run_id,
             init_fn=init_fn,
             step_fn=step_fn,
-            measure_fn=measure_fn,
+            partition_aggs=partition_aggs,
+            combine_fn=combine_fn,
             max_iter=max_iter,
             resume=resume,
             checkpoint_every=checkpoint_every,

@@ -25,6 +25,7 @@ killed job resumes from the last complete superstep.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -33,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import CheckpointStore
 from .runner import GraphRun, run_supersteps
-from .scatter import prepare_edges, scatter_gather
+from .scatter import csr_gather, prepare_edges, scatter_gather, write_edge_shards
 
 __all__ = ["pagerank"]
 
@@ -47,7 +48,7 @@ def pagerank(
     store: CheckpointStore | None = None,
     run_id: str | None = None,
     resume: bool = True,
-    scatter_mode: str = "arrow",
+    scatter_mode: str = "csr",
     num_salts: int = 8,
     hot_threshold: int | None = None,
     checkpoint_every: int = 1,
@@ -60,14 +61,29 @@ def pagerank(
     spark: SparkSession = edges.sparkSession
     store = store or CheckpointStore(tempfile.mkdtemp(prefix="twspark_pr_"))
     run_id = run_id or f"pagerank-{uuid.uuid4().hex[:12]}"
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     # -- one-time graph preparation (recomputed cheaply on resume) ----------
     e = edges.groupBy("src", "dst").agg(F.sum("weight").alias("w"))
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     enorm = e.join(out_w, "src").select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
-    pe = prepare_edges(
-        enorm, payload=("p",), num_salts=num_salts, hot_threshold=hot_threshold
-    )
+
+    pe = None
+    shard_dir: str | None = None
+    num_edges = 0
+    if scatter_mode == "csr":
+        # adjacency shards aligned with the state's hash partitioning —
+        # written once per run (reused on resume), worker-cached thereafter
+        shard_dir = os.path.join(store.root, run_id, "_edge_shards")
+        if not os.path.exists(os.path.join(shard_dir, "_DONE")):
+            write_edge_shards(enorm, shard_dir, num_partitions)
+            open(os.path.join(shard_dir, "_DONE"), "w").close()
+        num_edges = enorm.count()
+    else:
+        pe = prepare_edges(
+            enorm, payload=("p",), num_salts=num_salts, hot_threshold=hot_threshold
+        )
+        num_edges = pe.num_edges
 
     vertices = (
         e.select(F.col("src").alias("vid"))
@@ -93,9 +109,12 @@ def pagerank(
     def step_fn(state: DataFrame, carry: dict, k: int) -> DataFrame:
         d = damping
         dangling_per_vertex = carry["dangling_sum"] / n
-        sums = scatter_gather(
-            pe, state.select("vid", "rank"), F.col("p") * F.col("rank"), mode=scatter_mode
-        )
+        if scatter_mode == "csr":
+            sums = csr_gather(state.select("vid", "rank"), shard_dir)
+        else:
+            sums = scatter_gather(
+                pe, state.select("vid", "rank"), F.col("p") * F.col("rank"), mode=scatter_mode
+            )
         return (
             state.join(sums, state["vid"] == sums["dst"], "left_outer")
             .select(
@@ -109,28 +128,32 @@ def pagerank(
             )
         )
 
-    def measure_fn(reloaded: DataFrame, carry: dict, k: int) -> tuple[dict, dict, bool]:
-        row = reloaded.agg(
-            F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta_max"),
-            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))).alias(
-                "dangling_sum"
-            ),
-            F.sum("rank").alias("total_mass"),
-            F.count(F.when(F.abs(F.col("rank") - F.col("prev_rank")) > tol, 1)).alias(
-                "active_vertices"
-            ),
-        ).collect()[0]
-        converged = k > 0 and row["delta_max"] < tol
+    # distributive per-partition partials, combined on the driver (one job
+    # per superstep computes these together with the lineage rows)
+    partition_aggs = [
+        F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("p_delta_max"),
+        F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))).alias(
+            "p_dangling_sum"
+        ),
+        F.sum("rank").alias("p_total_mass"),
+        F.count(F.when(F.abs(F.col("rank") - F.col("prev_rank")) > tol, 1)).alias("p_active"),
+    ]
+
+    def combine_fn(partials: list[dict], carry: dict, k: int) -> tuple[dict, dict, bool]:
+        delta_max = max((p["p_delta_max"] for p in partials), default=0.0)
+        dangling_sum = sum(p["p_dangling_sum"] for p in partials)
+        total_mass = sum(p["p_total_mass"] for p in partials)
+        active = sum(p["p_active"] for p in partials)
+        converged = k > 0 and delta_max < tol
         metrics = {
             "kernel": "pagerank",
-            "delta_max": row["delta_max"],
-            "total_mass": row["total_mass"],
-            "active_vertices": row["active_vertices"],
-            "edges_processed": pe.num_edges,
+            "delta_max": delta_max,
+            "total_mass": total_mass,
+            "active_vertices": active,
+            "edges_processed": num_edges,
             "n_vertices": n,
         }
-        new_carry = {"dangling_sum": row["dangling_sum"]}
-        return metrics, new_carry, converged
+        return metrics, {"dangling_sum": dangling_sum}, converged
 
     try:
         return run_supersteps(
@@ -139,11 +162,13 @@ def pagerank(
             run_id=run_id,
             init_fn=init_fn,
             step_fn=step_fn,
-            measure_fn=measure_fn,
+            partition_aggs=partition_aggs,
+            combine_fn=combine_fn,
             max_iter=max_iter,
             resume=resume,
             checkpoint_every=checkpoint_every,
         )
     finally:
-        pe.unpersist()
+        if pe is not None:
+            pe.unpersist()
         vertices.unpersist()

@@ -139,6 +139,113 @@ def _arrow_partial(agg: str):
     return partial
 
 
+# -----------------------------------------------------------------------------
+# CSR-shard gather: worker-cached adjacency, rank-only Arrow traffic
+# -----------------------------------------------------------------------------
+#
+# The join-based scatter ships edge-sized data through the plan every
+# superstep. The CSR-shard path instead writes the normalized adjacency ONCE
+# as parquet shards partitioned by pid = pmod(hash(src), P) — the exact
+# function Spark's HashPartitioning uses — so a vertex-state frame that is
+# hash-partitioned by vid is ALREADY aligned with the shards: physical
+# partition i holds exactly the vids of shard i. Each superstep then:
+#
+#   state (partitioned by vid) ──mapInPandas──▶ per-shard partial (dst, c)
+#                                     │  loads+factorizes its shard once,
+#                                     │  caches it in the (reused) Python
+#                                     │  worker; per superstep: align ranks
+#                                     │  to the shard's unique srcs (one
+#                                     │  pandas reindex) + one bincount
+#   partials ──groupBy(dst).sum──▶ gather result      (the ONLY shuffle)
+#
+# Python traffic is vertex-sized (vid, rank) in and ≤ unique-dst-per-shard
+# out; the edge bytes cross into Python exactly once per run per worker.
+
+_SHARD_CACHE: dict = {}
+
+
+def shard_pid(col: F.Column, num_partitions: int) -> F.Column:
+    """Spark's HashPartitioning function: pmod(murmur3(col), n) — F.hash IS
+    murmur3_32(seed=42), the same hash HashPartitioning evaluates."""
+    return F.pmod(F.hash(col), F.lit(num_partitions))
+
+
+def write_edge_shards(enorm: DataFrame, shard_dir: str, num_partitions: int) -> None:
+    """One-time materialization of adjacency shards (src, dst, p) by pid."""
+    (
+        enorm.withColumn("pid", shard_pid(F.col("src"), num_partitions))
+        .repartition("pid")
+        .write.mode("overwrite")
+        .partitionBy("pid")
+        .parquet(shard_dir)
+    )
+
+
+def _load_shard(shard_dir: str, pid: int):
+    key = (shard_dir, pid)
+    cached = _SHARD_CACHE.get(key)
+    if cached is not None:
+        return cached
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(shard_dir, f"pid={pid}")
+    if not os.path.isdir(path):
+        entry = None  # shard has no edges
+    else:
+        tbl = pq.read_table(path, columns=["src", "dst", "p"])
+        src = tbl.column("src").to_numpy()
+        dst = tbl.column("dst").to_numpy()
+        p = tbl.column("p").to_numpy().astype(np.float64)
+        src_codes, src_uniq = pd.factorize(src, sort=False)
+        dst_codes, dst_uniq = pd.factorize(dst, sort=False)
+        entry = (src_codes, src_uniq, dst_codes, dst_uniq, p)
+    _SHARD_CACHE[key] = entry
+    return entry
+
+
+def csr_gather(state: DataFrame, shard_dir: str) -> DataFrame:
+    """Per-shard sparse gather: ``(dst, c)`` partials, one row per distinct
+    dst per shard. ``state`` must be hash-partitioned by ``vid`` with the
+    same partition count the shards were written with."""
+
+    def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if not pdfs:
+            return
+        pid = int(pdfs[0]["pid"].iloc[0])
+        shard = _load_shard(shard_dir, pid)
+        if shard is None:
+            return
+        src_codes, src_uniq, dst_codes, dst_uniq, p = shard
+        ranks = pd.concat(pdfs, ignore_index=True)
+        aligned = (
+            pd.Series(ranks["rank"].to_numpy(), index=ranks["vid"].to_numpy())
+            .reindex(src_uniq)
+            .to_numpy()
+        )
+        if np.isnan(aligned).any():
+            # every shard src must be a vertex routed to this partition —
+            # a NaN means state/shard partitionings diverged; fail loudly
+            # rather than silently dropping rank mass.
+            missing = int(np.isnan(aligned).sum())
+            raise RuntimeError(
+                f"csr_gather misalignment: {missing} shard srcs missing from "
+                f"state partition {pid} — state is not hash-partitioned by vid "
+                "with the shard partition count"
+            )
+        contrib = p * aligned[src_codes]
+        sums = np.bincount(dst_codes, weights=contrib, minlength=len(dst_uniq))
+        yield pd.DataFrame({"dst": dst_uniq, "c": sums})
+
+    with_pid = state.select(
+        F.spark_partition_id().alias("pid"), F.col("vid"), F.col("rank")
+    )
+    partials = with_pid.mapInPandas(gather, schema="dst long, c double")
+    return partials.groupBy("dst").agg(F.sum("c").alias("c"))
+
+
 def scatter_gather(
     pe: PartitionedEdges,
     state: DataFrame,

@@ -20,6 +20,8 @@ by property tests instead.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -234,23 +236,71 @@ def simhash_near_dups(
 
 
 def embedding_near_dups(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_size: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates (the reference's ``embed duplicates``,
-    ``README.md:216``): all pairs with cosine ≥ threshold, ``(a, b, cos)``.
+    ``README.md:216``): all exact pairs with cosine ≥ threshold, ``(a, b, cos)``.
 
-    Exact all-pairs self-join (a < b) — correct and oracle-checkable. At
-    corpus scale, candidates come from :func:`minhash_lsh_candidates` or a
-    random-hyperplane bucket join first, and this exact kernel verifies only
-    the candidates (same verify-the-candidates shape as SimHash above).
+    Exact all-pairs, executed as a **block-matrix** job instead of a row-wise
+    cross join: vectors are hashed into √-scale blocks, block *pairs* are the
+    cross-joined unit, and each pair is scored with one float64 NumPy matmul
+    inside ``mapInPandas``. That turns O(n²) per-row expression evaluation
+    into O((n/B)²) BLAS calls — the shape that survives a 100× scale-up
+    (and parallelizes over block pairs). At true corpus scale, candidates
+    come from :func:`minhash_lsh_candidates` or a random-hyperplane bucket
+    join first, and this exact kernel scores only candidate blocks.
     """
-    from ..functions.vector import cosine_expr
+    from collections.abc import Iterator
 
-    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", cosine_expr("va", "vb").alias("cos"))
-        .where(F.col("cos") >= threshold)
+    spark = df.sparkSession
+    n = df.count()
+    n_blocks = max(1, (n + block_size - 1) // block_size)
+    base = df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
     )
+    blocks = base.groupBy("blk").agg(
+        F.collect_list("id").alias("ids"), F.collect_list("vec").alias("vecs")
+    )
+    lhs = blocks.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a")
+    )
+    rhs = blocks.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b")
+    )
+    pairs = lhs.crossJoin(rhs).where(F.col("blk_a") <= F.col("blk_b"))
+    # spread block-pair tasks across the cluster
+    pairs = pairs.repartition(max(n_blocks * (n_blocks + 1) // 2, 1))
+
+    thr = float(threshold)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():  # ≤ a few block pairs per batch
+                ia = np.asarray(row["ids_a"], dtype=np.int64)
+                ib = np.asarray(row["ids_b"], dtype=np.int64)
+                xa = np.stack(row["vecs_a"]).astype(np.float64)
+                xb = np.stack(row["vecs_b"]).astype(np.float64)
+                na = np.linalg.norm(xa, axis=1)
+                nb = np.linalg.norm(xb, axis=1)
+                denom = np.outer(na, nb)
+                sims = (xa @ xb.T) / np.where(denom == 0, 1.0, denom)
+                ii, jj = np.where(sims >= thr)
+                va, vb, cs = ia[ii], ib[jj], sims[ii, jj]
+                if row["blk_a"] == row["blk_b"]:
+                    # same block: matrix holds both orders + the diagonal
+                    keep = va < vb
+                    va, vb, cs = va[keep], vb[keep], cs[keep]
+                if len(va) == 0:
+                    continue
+                # canonical (min, max): the smaller id may live in either block
+                yield pd.DataFrame(
+                    {"a": np.minimum(va, vb), "b": np.maximum(va, vb), "cos": cs}
+                )
+
+    return pairs.mapInPandas(score, schema="a long, b long, cos double")

@@ -23,7 +23,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_expr
@@ -50,8 +50,9 @@ def knn_search(
     ).where(F.col("similarity").isNotNull())
     if threshold is not None:
         scored = scored.where(F.col("similarity") >= threshold)
-    w = Window.orderBy(F.col("similarity").desc(), F.col("id").asc())
-    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+    # orderBy+limit → TakeOrderedAndProject (distributed per-partition top-k
+    # then driver merge), never the single-partition global window.
+    return scored.orderBy(F.col("similarity").desc(), F.col("id").asc()).limit(k)
 
 
 def pairwise_similarity(df: DataFrame, id_col: str, vec_col: str, id1: int, id2: int) -> DataFrame:

@@ -36,9 +36,8 @@ import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-__all__ = ["CheckpointStore", "RunHandle"]
+__all__ = ["CheckpointStore"]
 
 _MANIFEST = "manifest.json"
 
@@ -66,51 +65,39 @@ class CheckpointStore:
     # -- write path ---------------------------------------------------------
     #
     # Two-phase commit per superstep:
-    #   reloaded = store.write_state(run_id, k, state)   # data files
-    #   ...compute metrics/carry FROM the materialized state (1 small agg)...
-    #   store.finalize(run_id, k, reloaded, metrics, carry)  # manifest = commit point
+    #   store.write_state(run_id, k, state)            # data files (from cache)
+    #   store.finalize(run_id, k, lineage, metrics, carry)  # manifest = commit point
     # A superstep exists iff its manifest exists; a kill between the two
     # phases leaves a torn directory that write_state clears on retry.
 
-    def write_state(self, run_id: str, superstep: int, state: DataFrame) -> DataFrame:
-        """Write the superstep's state Parquet; return the *reloaded* frame.
+    def write_state(self, run_id: str, superstep: int, state: DataFrame) -> str:
+        """Write the superstep's state Parquet; returns the state dir path.
 
-        Reloading from the committed Parquet both truncates the DataFrame
-        lineage (no unbounded logical-plan growth across iterations) and
-        guarantees the next superstep reads exactly the bytes a resumed run
-        would read.
+        The caller keeps iterating on its in-memory (localCheckpoint-ed)
+        state; these files exist for durability/resume only.
         """
         step_dir = _superstep_dir(self.root, run_id, superstep)
         state_dir = os.path.join(step_dir, "state")
         if os.path.exists(step_dir) and not os.path.exists(os.path.join(step_dir, _MANIFEST)):
             shutil.rmtree(step_dir)  # torn write from a killed run — redo
         state.write.mode("overwrite").parquet(state_dir)
-        return state.sparkSession.read.parquet(state_dir)
+        return state_dir
 
     def finalize(
         self,
         run_id: str,
         superstep: int,
-        reloaded: DataFrame,
+        lineage: list[dict[str, Any]],
         metrics: dict[str, Any],
         carry: dict[str, Any] | None = None,
     ) -> None:
-        """Write the manifest (the atomic commit point) with lineage rows.
+        """Write the manifest (the atomic commit point).
 
-        Lineage is computed from the committed files in one small
-        aggregation: per Spark partition, row count + an order-insensitive
-        content checksum (bit_xor of per-row xxhash64), mirroring how an
-        Iceberg commit records per-file stats.
+        ``lineage`` rows are ``(partition_id, n_rows, checksum)`` computed by
+        the runner in the same aggregation as the convergence metrics —
+        mirroring how an Iceberg commit records per-file stats.
         """
         step_dir = _superstep_dir(self.root, run_id, superstep)
-        lineage_rows = (
-            reloaded.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.bit_xor(F.xxhash64(*reloaded.columns)).alias("checksum"),
-            )
-            .collect()
-        )
         manifest = {
             "run_id": run_id,
             "superstep": superstep,
@@ -118,25 +105,12 @@ class CheckpointStore:
             "committed_at": time.time(),
             "metrics": metrics,
             "carry": carry or {},
-            "lineage": [r.asDict() for r in lineage_rows],
+            "lineage": lineage,
         }
         tmp = os.path.join(step_dir, _MANIFEST + ".tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(step_dir, _MANIFEST))
-
-    def commit_superstep(
-        self,
-        run_id: str,
-        superstep: int,
-        state: DataFrame,
-        metrics: dict[str, Any],
-        carry: dict[str, Any] | None = None,
-    ) -> DataFrame:
-        """One-shot write_state + finalize; returns the reloaded state."""
-        reloaded = self.write_state(run_id, superstep, state)
-        self.finalize(run_id, superstep, reloaded, metrics, carry)
-        return reloaded
 
     # -- read path ----------------------------------------------------------
 
