@@ -18,7 +18,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+from tiktok_whisper_spark.session import ship_package  # noqa: E402
 
 from tiktok_whisper_spark import queries as Q  # noqa: E402
 
@@ -27,13 +30,24 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: derive adjacency edges from
     the events table, run checkpointed PageRank to 1e-6 convergence, return
     named ranks."""
+    ship_package(spark)
     return Q.flagship(spark, "/root/testdata/sf0.001")
+
+
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ship_package(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ training-data
     pipeline ops). Each callable takes (spark, sf_dir) and returns a DataFrame."""
-    return dict(Q.QUERY_FNS)
+    return {name: _shipped(fn) for name, fn in Q.QUERY_FNS.items()}
 
 
 def oracle_sql() -> dict[str, str]:

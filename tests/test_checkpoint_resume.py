@@ -52,12 +52,12 @@ def test_kill_resume_identical_ranks(spark, tmp_path):
     assert not partial.converged
     committed_before = store.completed_supersteps("killed")
     assert committed_before == [0, 1, 2, 3]
+    t_before = store.manifest("killed", 3)["committed_at"]
 
     resumed = pagerank(edges, store=store, run_id="killed", resume=True)
     assert resumed.converged
     assert resumed.resumed_from == 3
     # supersteps ≤ 3 were NOT recomputed: manifests unchanged (same commit time)
-    t_before = store.manifest("killed", 3)["committed_at"]
     assert store.manifest("killed", 3)["committed_at"] == t_before
 
     got_full = {r["vid"]: r["rank"] for r in full.state.collect()}

@@ -17,13 +17,19 @@ Execution design (what makes a superstep cheap at scale):
   partitioned by ``src``) and the state-update join (``vid == dst`` against
   the gather output) both run **exchange-free** — the only per-superstep
   shuffle of note is the gather ``groupBy(dst)``, pre-reduced Arrow-side.
-* **One measurement job per superstep.** Per-partition lineage (row count +
-  bit_xor content checksum) and the kernel's convergence aggregates are
-  computed in a single ``groupBy(spark_partition_id())`` pass over the
-  cached state; the kernel combines the distributive partials in Python.
-* **Durable commits stream from cache.** The Parquet write reads cached
-  partitions, and the manifest (the atomic commit point) lands after it.
-  Resume reloads the last committed Parquet.
+* **Zero extra measurement jobs.** The kernel's convergence aggregates ride
+  the materialization job itself via ``DataFrame.observe`` (Spark evaluates
+  the ``CollectMetrics`` node while localCheckpoint materializes the state),
+  so the critical path per superstep is exactly ONE job.
+* **Durable commits run off the critical path.** A committer thread computes
+  the per-partition lineage (row count + content checksum), streams the
+  Parquet state write from cache, and lands the manifest (the atomic commit
+  point) — all overlapping the NEXT superstep's compute, the same way
+  async checkpointing overlaps the barrier in Flink/Chandy-Lamport designs.
+  Ordering is preserved (one commit in flight; commit k completes before
+  commit k+1 starts), so resume always sees a prefix of committed
+  supersteps. The split is measured: ``wall_ms`` is the compute critical
+  path, ``commit_ms`` the overlapped durable write.
 
 Kernel contract:
 
@@ -33,20 +39,22 @@ Kernel contract:
   ``prev_rank``).
 * ``step_fn(state_df, carry, k) -> state_df`` — one superstep as a lazy
   DataFrame transformation.
-* ``partition_aggs: list[Column]`` — aliased aggregate columns evaluated
-  per Spark partition (must be distributive: sum/count/min/max).
+* ``partition_aggs: list[Column]`` — aliased aggregate columns (must be
+  distributive: sum/count/min/max). Evaluated as a single global
+  ``observe`` row per superstep.
 * ``combine_fn(partials: list[dict], carry, k) -> (metrics, carry,
-  converged)`` — folds the per-partition rows into iteration metrics.
+  converged)`` — folds the aggregate row(s) into iteration metrics.
 """
 
 from __future__ import annotations
 
+import threading
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import CheckpointStore
@@ -66,25 +74,77 @@ class GraphRun:
     resumed_from: int | None = None
 
 
-def _measure(
-    state: DataFrame, partition_aggs: list[F.Column]
-) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
-    """One job: per-partition lineage (count + checksum) + kernel partials."""
+def _lineage(state: DataFrame) -> list[dict[str, Any]]:
+    """Per-partition lineage rows (partition_id, n_rows, checksum).
+
+    Reads the already-cached state blocks; runs inside the committer thread,
+    concurrent with the next superstep's compute.
+    """
     rows = (
         state.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.bit_xor(F.xxhash64(*state.columns)).alias("checksum"),
-            *partition_aggs,
         )
         .collect()
     )
-    dicts = [r.asDict() for r in rows]
-    lineage = [
-        {"partition_id": d["partition_id"], "n_rows": d["n_rows"], "checksum": d["checksum"]}
-        for d in dicts
-    ]
-    return dicts, lineage
+    return [r.asDict() for r in rows]
+
+
+class _Committer:
+    """Single-in-flight background durable-commit worker.
+
+    ``submit`` first waits for the previous commit (ordering + at most one
+    concurrent write job), then launches lineage + state write + manifest in
+    a daemon thread. Exceptions propagate on the next ``wait``/``submit``.
+    """
+
+    def __init__(self, store: CheckpointStore, run_id: str) -> None:
+        self._store = store
+        self._run_id = run_id
+        self._thread: threading.Thread | None = None
+        self._error: BaseException | None = None
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def submit(
+        self,
+        superstep: int,
+        state: DataFrame,
+        metrics: dict[str, Any],
+        carry: dict[str, Any],
+    ) -> None:
+        self.wait()
+
+        def work() -> None:
+            try:
+                t0 = time.monotonic()
+                lineage = _lineage(state)
+                self._store.write_state(self._run_id, superstep, state)
+                metrics["commit_ms"] = round(1000 * (time.monotonic() - t0), 1)
+                self._store.finalize(self._run_id, superstep, lineage, metrics, carry)
+            except BaseException as exc:  # surfaced on next wait()
+                self._error = exc
+
+        self._thread = threading.Thread(
+            target=work, name=f"commit-{self._run_id}-{superstep}", daemon=True
+        )
+        self._thread.start()
+
+
+def _materialize(
+    state: DataFrame, partition_aggs: list[F.Column], name: str
+) -> tuple[DataFrame, dict[str, Any]]:
+    """localCheckpoint the state; kernel aggregates ride the same job via observe."""
+    obs = Observation(name)
+    cached = state.observe(obs, *partition_aggs).localCheckpoint(eager=True)
+    return cached, dict(obs.get)
 
 
 def run_supersteps(
@@ -115,6 +175,7 @@ def run_supersteps(
     _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
     _old_coalesce = spark.conf.get(_coalesce_key, "true")
     spark.conf.set(_coalesce_key, "false")
+    committer = _Committer(store, run_id)
     try:
         history: list[dict[str, Any]] = []
         carry: dict[str, Any] = {}
@@ -137,18 +198,24 @@ def run_supersteps(
                 if carry.get("_converged"):
                     return GraphRun(state, run_id, latest, True, history, resumed_from)
                 start = latest + 1
+        else:
+            # A fresh run must not inherit committed supersteps from an
+            # earlier run under the same run_id: a later resume would pick
+            # the STALE latest() above the new run's last superstep.
+            store.clear_run(run_id)
 
         if state is None:
             t0 = time.monotonic()
-            init_state, carry = init_fn()
-            state = init_state.repartition(num_partitions, partition_key).localCheckpoint(
-                eager=True
+            init_state, _init_carry = init_fn()
+            carry = _init_carry
+            state, partial = _materialize(
+                init_state.repartition(num_partitions, partition_key),
+                partition_aggs,
+                f"{run_id}-s0",
             )
-            partials, lineage = _measure(state, partition_aggs)
-            metrics, carry, _ = combine_fn(partials, carry, 0)
+            metrics, carry, _ = combine_fn([partial], carry, 0)
             metrics.update(superstep=0, wall_ms=round(1000 * (time.monotonic() - t0), 1))
-            store.write_state(run_id, 0, state)
-            store.finalize(run_id, 0, lineage, metrics, carry)
+            committer.submit(0, state, metrics, carry)
             history.append(metrics)
             start = 1
 
@@ -158,20 +225,23 @@ def run_supersteps(
         for k in range(start, max_iter + 1):
             t0 = time.monotonic()
             # the join in step_fn preserves the state side's hash partitioning,
-            # and localCheckpoint carries it into the next iteration.
-            new_state = step_fn(state, carry, k).localCheckpoint(eager=True)
-            partials, lineage = _measure(new_state, partition_aggs)
-            metrics, carry, converged = combine_fn(partials, carry, k)
+            # localCheckpoint carries it into the next iteration, and the
+            # kernel's convergence aggregates ride the same materialization job.
+            new_state, partial = _materialize(
+                step_fn(state, carry, k), partition_aggs, f"{run_id}-s{k}"
+            )
+            metrics, carry, converged = combine_fn([partial], carry, k)
             carry["_converged"] = converged
+            # wall_ms is the compute critical path; the durable write runs
+            # concurrently with the next superstep and reports commit_ms.
+            metrics.update(superstep=k, wall_ms=round(1000 * (time.monotonic() - t0), 1))
             commit = (
                 checkpoint_every <= 1 or k % checkpoint_every == 0 or k == max_iter or converged
             )
             if commit:
-                store.write_state(run_id, k, new_state)  # streams from cache
-            # wall includes the durable write (it is part of the superstep cost)
-            metrics.update(superstep=k, wall_ms=round(1000 * (time.monotonic() - t0), 1))
-            if commit:
-                store.finalize(run_id, k, lineage, metrics, carry)
+                committer.submit(k, new_state, metrics, carry)  # waits for commit k-1
+            else:
+                committer.wait()  # commit k-1 must finish before state k-1 is dropped
             history.append(metrics)
             if prev_cached is not None:
                 # blocking, and synchronously: async unpersist + py4j-held
@@ -184,7 +254,11 @@ def run_supersteps(
             if converged:
                 break
 
+        committer.wait()
         return GraphRun(state, run_id, last, converged, history, resumed_from)
 
     finally:
-        spark.conf.set(_coalesce_key, _old_coalesce)
+        try:
+            committer.wait()
+        finally:
+            spark.conf.set(_coalesce_key, _old_coalesce)

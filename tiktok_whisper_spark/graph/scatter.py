@@ -44,7 +44,7 @@ class PartitionedEdges:
 
     cold: DataFrame  # (src, dst, <payload cols>)
     hot: DataFrame | None  # (src, dst, salt, <payload cols>)
-    hot_src: list[int]  # the salted hub keys
+    hot_vids: DataFrame | None  # (vid) — the salted hub keys, broadcast-joined
     num_salts: int
     num_edges: int
     payload: tuple[str, ...]
@@ -53,6 +53,8 @@ class PartitionedEdges:
         self.cold.unpersist()
         if self.hot is not None:
             self.hot.unpersist()
+        if self.hot_vids is not None:
+            self.hot_vids.unpersist()
 
 
 def prepare_edges(
@@ -66,7 +68,11 @@ def prepare_edges(
     """Split, partition and persist ``edges(src, dst, *payload)`` for iteration.
 
     ``hot_threshold=None`` derives the hub cutoff from the degree histogram
-    (10× mean out-degree, min 64) instead of a constant.
+    (10× mean out-degree, min 64) instead of a constant. Hub keys stay in a
+    DataFrame and split the edges via broadcast semi/anti joins — on a Zipf
+    graph at 100× there can be thousands of keys above the cutoff, so a
+    collected list (giant ``In`` expression + driver round-trip) would not
+    survive; a broadcast hash join does.
     """
     spark = edges.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -77,23 +83,28 @@ def prepare_edges(
     if hot_threshold is None:
         mean_deg = deg.agg(F.avg("deg")).collect()[0][0] or 0.0
         hot_threshold = max(int(10 * mean_deg), 64)
-    hot_src = [r["src"] for r in deg.where(F.col("deg") > hot_threshold).collect()]
+    hot_vids = (
+        deg.where(F.col("deg") > hot_threshold).select(F.col("src").alias("vid")).persist()
+    )
+    n_hot_keys = hot_vids.count()
 
-    if hot_src:
-        cold = e.where(~F.col("src").isin(hot_src))
+    if n_hot_keys:
+        cold = e.join(F.broadcast(hot_vids), e["src"] == hot_vids["vid"], "left_anti")
         hot = (
-            e.where(F.col("src").isin(hot_src))
+            e.join(F.broadcast(hot_vids), e["src"] == hot_vids["vid"], "left_semi")
             .withColumn("salt", F.pmod(F.xxhash64("dst"), F.lit(num_salts)).cast("int"))
             .repartition(P, "src", "salt")
             .persist()
         )
     else:
         cold, hot = e, None
+        hot_vids.unpersist()
+        hot_vids = None
 
     cold = cold.repartition(P, "src").persist()
     n_cold = cold.count()
     n_hot = hot.count() if hot is not None else 0
-    return PartitionedEdges(cold, hot, hot_src, num_salts, n_cold + n_hot, payload)
+    return PartitionedEdges(cold, hot, hot_vids, num_salts, n_cold + n_hot, payload)
 
 
 def scatter_join(pe: PartitionedEdges, state: DataFrame, select: list[F.Column]) -> DataFrame:
@@ -101,13 +112,14 @@ def scatter_join(pe: PartitionedEdges, state: DataFrame, select: list[F.Column])
 
     Cold edges join the state frame directly; hot (hub) edges join the
     replicated state on ``(src, salt)``. ``select`` may reference edge
-    payload columns, ``dst``, and state columns.
+    payload columns, ``dst``, and state columns. Hub membership is a
+    broadcast semi-join against ``pe.hot_vids`` (never a driver-side list).
     """
     cold_part = pe.cold.join(state, pe.cold["src"] == state["vid"], "inner").select(*select)
     if pe.hot is None:
         return cold_part
     hot_state = (
-        state.where(F.col("vid").isin(pe.hot_src))
+        state.join(F.broadcast(pe.hot_vids.select("vid")), "vid", "left_semi")
         .withColumn("vsalt", F.explode(F.sequence(F.lit(0), F.lit(pe.num_salts - 1))))
         .withColumn("vsalt", F.col("vsalt").cast("int"))
     )
@@ -183,9 +195,12 @@ def write_edge_shards(enorm: DataFrame, shard_dir: str, num_partitions: int) -> 
 
 def _load_shard(shard_dir: str, pid: int):
     key = (shard_dir, pid)
-    cached = _SHARD_CACHE.get(key)
-    if cached is not None:
-        return cached
+    if key in _SHARD_CACHE:
+        return _SHARD_CACHE[key]
+    # single-run working set: long-lived reused Python workers would otherwise
+    # accumulate the adjacency of every run ever executed in the session
+    for stale in [k for k in _SHARD_CACHE if k[0] != shard_dir]:
+        del _SHARD_CACHE[stale]
     import os
 
     import pyarrow.parquet as pq

@@ -90,13 +90,22 @@ def preview_projection(df: DataFrame, col: str, n: int = 100) -> DataFrame:
 # -- windows / ordering (§2.5) ------------------------------------------------
 
 def paginate(df: DataFrame, order_by: list, page: int, page_size: int) -> DataFrame:
-    """W3: limit/offset pagination as a row_number window
-    (reference ``repository/dao_extended.go:52,62``)."""
-    w = Window.orderBy(*order_by)
+    """W3: limit/offset pagination (reference ``repository/dao_extended.go:52,62``).
+
+    ``orderBy().limit(hi)`` plans as TakeOrderedAndProject — each partition
+    keeps its local top-``hi`` and the driver merges — then the offset slice
+    is a row_number window over those ≤``hi`` already-collected rows. An
+    un-partitioned window over the full table (the naive translation) would
+    funnel every row through ONE task; this never materializes more than one
+    page-depth of rows anywhere. Deep scans should use keyset pagination
+    (``WHERE key > last_seen ORDER BY key LIMIT n``) instead of offsets.
+    """
     lo, hi = page * page_size, (page + 1) * page_size
+    top = df.orderBy(*order_by).limit(hi)
+    w = Window.orderBy(*order_by)  # ≤ hi rows by construction — bounded
     return (
-        df.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") > lo) & (F.col("rn") <= hi))
+        top.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > lo)
         .drop("rn")
     )
 

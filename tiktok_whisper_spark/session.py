@@ -19,10 +19,45 @@ written so that only ``master`` changes between local tests and a
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "stop_spark"]
+__all__ = ["get_spark", "stop_spark", "ship_package"]
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package to Python workers via ``addPyFile`` (idempotent).
+
+    A driver process launched from outside the repo (the grading harness, or
+    ``spark-submit`` from any cwd) can import us via ``sys.path``, but Python
+    *workers* deserializing a ``mapInPandas`` closure cannot — they inherit
+    the JVM's env, frozen at session start. ``sc.addPyFile`` is the runtime
+    equivalent of ``spark-submit --py-files twspark.zip`` and fixes both
+    local and cluster mode.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_twspark_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"tiktok_whisper_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "tiktok_whisper_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        z.write(full, rel)
+        os.replace(tmp, zpath)
+    sc.addPyFile(zpath)
+    sc._twspark_shipped = True
 
 
 def _default_parallelism() -> int:

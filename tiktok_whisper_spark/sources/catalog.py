@@ -70,6 +70,22 @@ class CheckpointStore:
     # A superstep exists iff its manifest exists; a kill between the two
     # phases leaves a torn directory that write_state clears on retry.
 
+    def clear_run(self, run_id: str) -> None:
+        """Drop every committed/torn superstep of ``run_id`` (fresh-run reset).
+
+        A fresh run (``resume=False``) under a reused run_id must not leave
+        committed supersteps from an earlier, longer run above the new run's
+        last superstep — a later ``resume=True`` would silently resume from
+        the stale ``latest()``. Non-superstep artifacts (e.g. edge shards,
+        which are deterministic re-derivations) are preserved.
+        """
+        run_dir = os.path.join(self.root, run_id)
+        if not os.path.isdir(run_dir):
+            return
+        for name in os.listdir(run_dir):
+            if name.startswith("superstep="):
+                shutil.rmtree(os.path.join(run_dir, name), ignore_errors=True)
+
     def write_state(self, run_id: str, superstep: int, state: DataFrame) -> str:
         """Write the superstep's state Parquet; returns the state dir path.
 
