@@ -62,6 +62,75 @@ def test_superstep_pays_single_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_paginate_never_globally_windows_full_input(spark, sf_dir):
+    """W3 fix: pagination must plan as TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a single-partition window over ALL rows."""
+    from tiktok_whisper_spark.operators.relational import paginate
+
+    df = paginate(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        page=5,
+        page_size=20,
+    )
+    plan = explain.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # the window (offset slice) sits ABOVE the take — its input is ≤ hi rows
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_hot_key_split_uses_broadcast_join_not_in_list(spark):
+    """Hub-key edge splitting must be a broadcast semi/anti join against the
+    hot-key DataFrame — a collected isin() list becomes a giant In(...)
+    expression + driver round-trip on Zipf graphs at scale."""
+    rows = [(0, d, 1.0) for d in range(1, 800)]  # vertex 0 = hub
+    rows += [(i, (i + 1) % 900, 1.0) for i in range(1, 900)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    pe = prepare_edges(edges, payload=("weight",))
+    assert pe.hot is not None and pe.hot_vids is not None
+    for side in (pe.cold, pe.hot):
+        plan = explain.physical_plan(side)
+        assert "BroadcastHashJoin" in plan
+        assert " IN (" not in plan and "In(src" not in plan
+    state = edges.select(F.col("src").alias("vid")).distinct().select(
+        "vid", F.lit(1.0).alias("rank")
+    )
+    joined = scatter_gather(pe, state, F.col("weight") * F.col("rank"), mode="sql")
+    assert "In(vid" not in explain.physical_plan(joined)
+    pe.unpersist()
+
+
+def test_lsh_gated_embedding_dedup_has_no_cross_join(spark, sf_dir):
+    """The registered embedding-dedup scale path must contain no cartesian /
+    nested-loop product — candidates come from the band equi-join only."""
+    from tiktok_whisper_spark.operators.dedup import embedding_near_dups_lsh
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_dups_lsh(df, "vec_id", "embedding", threshold=0.42)
+    plan = explain.physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_lloyd_has_no_per_dimension_aggregates_or_id_rejoin(spark):
+    """K2 fix: the Lloyd update reduces per-partition NumPy partials with ONE
+    small groupBy — never `dim` separate avg(element_at(vec,i)) aggregate
+    expressions (codegen blowup at 1536/3072-d) and never a by-id re-join of
+    assignments to data."""
+    import inspect
+
+    from tiktok_whisper_spark.operators import similarity
+
+    src = inspect.getsource(similarity.kmeans)
+    assert "element_at" not in src
+    assert 'join(data, "id")' not in src
+    # and the returned assignment frame involves no join at all
+    rows = [(i, [float(i % 4), float((i * 3) % 5)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    km = similarity.kmeans(df, "vec_id", "embedding", k=3, max_iter=3)
+    assert "Join" not in explain.physical_plan(km.assignments)
+
+
 def test_tpch_q1_wholestage_codegen(spark, sf_dir):
     from tiktok_whisper_spark.queries import agg_tpch_q1
 

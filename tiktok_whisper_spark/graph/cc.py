@@ -74,7 +74,7 @@ def connected_components(
             pe, state.select("vid", "label"), F.col("label"), agg="min", mode=scatter_mode
         )
         return (
-            state.join(nbr_min, state["vid"] == nbr_min["dst"], "left_outer")
+            state.join(nbr_min.hint("shuffle_hash"), state["vid"] == nbr_min["dst"], "left_outer")
             .select(
                 state["vid"],
                 F.least(state["label"], F.coalesce(nbr_min["c"], state["label"])).alias("label"),

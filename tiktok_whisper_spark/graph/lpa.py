@@ -83,7 +83,7 @@ def label_propagation(
             .select(F.col("dst"), F.col("label").alias("new_label"))
         )
         return (
-            state.join(winners, state["vid"] == winners["dst"], "left_outer")
+            state.join(winners.hint("shuffle_hash"), state["vid"] == winners["dst"], "left_outer")
             .select(
                 state["vid"],
                 F.coalesce(winners["new_label"], state["label"]).alias("label"),

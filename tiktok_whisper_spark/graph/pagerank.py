@@ -115,8 +115,12 @@ def pagerank(
             sums = scatter_gather(
                 pe, state.select("vid", "rank"), F.col("p") * F.col("rank"), mode=scatter_mode
             )
+        # both sides are hash-partitioned on the join key (state by vid from
+        # localCheckpoint, sums by dst from the gather groupBy) — the
+        # shuffle_hash hint turns the exchange-free SMJ into an exchange-free
+        # hash join, skipping two 15M-row sorts per superstep.
         return (
-            state.join(sums, state["vid"] == sums["dst"], "left_outer")
+            state.join(sums.hint("shuffle_hash"), state["vid"] == sums["dst"], "left_outer")
             .select(
                 state["vid"],
                 (

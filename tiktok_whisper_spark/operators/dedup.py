@@ -36,6 +36,8 @@ __all__ = [
     "simhash",
     "simhash_near_dups",
     "embedding_near_dups",
+    "embedding_near_dups_lsh",
+    "embedding_near_dups_grouped",
 ]
 
 
@@ -59,10 +61,13 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)) - F.lit(0)),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    # when fewer than n tokens, fall back to the whole text as one shingle
-    grams = F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    # docs with fewer than n tokens produce no shingles (they cannot
+    # participate in n-gram similarity) — this matches the SQL oracle's
+    # ``WHERE len(t) >= n`` exactly; a whole-text fallback would silently
+    # diverge from it on short docs.
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        df.where(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
         .where(F.length("shingle") > 0)
         .distinct()
     )
@@ -144,9 +149,11 @@ def minhash_lsh_candidates(
     estimator. Candidate generation is a bucket equi-join (shuffle on the
     band hash), never all-pairs.
     """
+    # Band join on ids ONLY: carrying the full sig arrays through the bucket
+    # join + distinct would shuffle every signature once per band and dedup
+    # on wide rows. Ids are joined/deduped first; signatures re-attach after.
     buckets = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -160,15 +167,18 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
-    a = buckets.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bhash")
-    b = buckets.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "band", "bhash")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    a = buckets.select(F.col("doc_id").alias("a"), "band", "bhash")
+    b = buckets.select(F.col("doc_id").alias("b"), "band", "bhash")
     pairs = (
         a.join(b, ["band", "bhash"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
+        .select("a", "b")
         .distinct()
     )
+    sig_a = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    pairs = pairs.join(sig_a, "a").join(sig_b, "b")
     matches = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
     )
@@ -180,15 +190,19 @@ def minhash_lsh_candidates(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """SimHash fingerprint: ``(doc_id, simhash: long)``.
 
-    Token hash = xxhash64(token); bit i of the fingerprint is the sign of
-    Σ_tokens (±1 by token's bit i). One explode + one groupBy with ``bits``
-    conditional sums — all Catalyst, no Python.
+    Token hash = first 8 hex chars of ``md5(token)`` as a 32-bit int — like
+    MinHash's ``min(md5(...))`` this makes the hash family *engine-portable*
+    (DuckDB computes the identical value via ``('0x'||substr(md5(t),1,8))::
+    BIGINT``), so the driver oracle can verify fingerprints byte-for-byte.
+    Bit i of the fingerprint is the sign of Σ_tokens (±1 by token's bit i).
+    One explode + one groupBy with ``bits`` conditional sums — all Catalyst,
+    no Python.
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     ).where(F.length("tok") > 0)
-    h = F.xxhash64("tok")
+    h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10).cast("long")
     aggs = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -233,6 +247,114 @@ def simhash_near_dups(
     cand = a.join(b, ["chunk", "cv"]).where(F.col("a") < F.col("b")).select("a", "b", "ha", "hb").distinct()
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return cand.select("a", "b", hamming.alias("hamming")).where(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_dups_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bands: int = 4,
+    band_width: int = 8,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Embedding near-duplicates, LSH-gated: ``(a, b, cos)`` — the 100-TB path.
+
+    This is the reference's ``embed duplicates --threshold`` / ``--user``
+    (``README.md:216``; scoping per ``docs/02-features/DUAL_EMBEDDING_TDD_
+    PLAN.md:742-743``) without the all-pairs blowup:
+
+    1. **Candidates** come from sign-random-projection LSH: band ``b``'s
+       bucket key is the sign bit-string of coordinates
+       ``b·band_width .. b·band_width+band_width-1``. For zero-centered
+       embedding spaces the coordinate hyperplanes are a valid SRP family
+       (cosine-similar vectors agree on most sign bits), and the bucketing is
+       exactly reproducible in ANSI SQL (``vec[d] >= 0``), so the driver
+       oracle replays the identical candidate set — no float-sum ordering
+       involved. Candidate generation is a bucket equi-join, never a cross
+       join.
+    2. **Exact scoring** re-attaches the vectors to the deduped candidate id
+       pairs and keeps cosine ≥ threshold (JVM-side HOF expression).
+
+    ``group_col`` scopes duplicate detection within a group (the reference's
+    per-user scope): candidates must share the group, like
+    ``embed duplicates --user <name>`` restricted to one user's rows.
+    """
+    from ..functions.vector import cosine_expr
+
+    gcols = [group_col] if group_col else []
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec"), *gcols
+    )
+
+    def band_bits(b: int) -> F.Column:
+        return F.concat(
+            *[
+                F.when(F.element_at("vec", b * band_width + d + 1) >= 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+                for d in range(band_width)
+            ]
+        )
+
+    buckets = base.select(
+        "id",
+        *gcols,
+        F.explode(
+            F.array(
+                *[F.struct(F.lit(b).alias("band"), band_bits(b).alias("bits")) for b in range(bands)]
+            )
+        ).alias("bk"),
+    ).select("id", *gcols, F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
+    a = buckets.select(F.col("id").alias("a"), "band", "bits", *gcols)
+    b = buckets.select(F.col("id").alias("b"), "band", "bits", *gcols)
+    pairs = (
+        a.join(b, ["band", "bits", *gcols])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", *gcols)
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("a"), F.col("vec").alias("va"))
+    vb = base.select(F.col("id").alias("b"), F.col("vec").alias("vb"))
+    return (
+        pairs.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", *gcols, cosine_expr("va", "vb").alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_dups_grouped(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Group-scoped exact near-duplicates: ``(a, b, <group>, cos)``.
+
+    The reference's ``embed duplicates --user <name>`` (``README.md:216``;
+    per-user scope in ``docs/02-features/DUAL_EMBEDDING_TDD_PLAN.md:742-743``)
+    — duplicate pairs are only meaningful within one user's corpus. The group
+    key equi-join bounds the pair blowup to Σ n_g² (per-user corpus sizes),
+    NOT the global n²; at corpus scale combine with the LSH gate
+    (:func:`embedding_near_dups_lsh` with ``group_col``).
+    """
+    from ..functions.vector import cosine_expr
+
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.col(group_col).alias("grp"),
+    )
+    a = base.select(F.col("id").alias("a"), F.col("vec").alias("va"), "grp")
+    b = base.select(F.col("id").alias("b"), F.col("vec").alias("vb"), "grp")
+    return (
+        a.join(b, "grp")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.col("grp").alias(group_col), cosine_expr("va", "vb").alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
 
 
 def embedding_near_dups(

@@ -23,12 +23,21 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_expr
 
-__all__ = ["knn_search", "pairwise_similarity", "kmeans", "pca_project", "ann_ivf_search"]
+__all__ = [
+    "knn_search",
+    "pairwise_similarity",
+    "kmeans",
+    "elbow_k",
+    "cluster_info",
+    "intra_cluster_edges",
+    "pca_project",
+    "ann_ivf_search",
+]
 
 
 def knn_search(
@@ -92,6 +101,46 @@ def _assign_udf(centroids: np.ndarray):
     return assign
 
 
+def _lloyd_stats_udf(centroids: np.ndarray):
+    """mapInPandas: one Lloyd pass per partition, fully in NumPy.
+
+    Emits ONE row per (partition, non-empty cluster): ``(cluster, n,
+    inertia, s:array<double>)`` where ``s`` is the per-cluster coordinate
+    sum. The update then needs only a tiny ``groupBy(cluster, pos)`` over
+    #partitions × k rows — never ``dim`` separate Catalyst aggregates
+    (codegen blowup at 1536/3072-d) and never a by-id re-join of the
+    assignments back to the data.
+    """
+    c = centroids
+    k, dim = c.shape
+    c_sq = (c * c).sum(axis=1)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = np.zeros(k, dtype=np.int64)
+        s = np.zeros((k, dim), dtype=np.float64)
+        inertia = np.zeros(k, dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            x = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            d = x @ c.T * -2.0 + c_sq[None, :]
+            cluster = np.argmin(d, axis=1)
+            n += np.bincount(cluster, minlength=k)
+            np.add.at(s, cluster, x)
+            sq = (x * x).sum(axis=1) + d[np.arange(len(x)), cluster]
+            inertia += np.bincount(cluster, weights=sq, minlength=k)
+        if not seen:
+            return
+        nz = np.flatnonzero(n)
+        yield pd.DataFrame(
+            {"cluster": nz.astype(np.int32), "n": n[nz], "inertia": inertia[nz], "s": list(s[nz])}
+        )
+
+    return stats
+
+
 def kmeans(
     df: DataFrame,
     id_col: str,
@@ -113,11 +162,63 @@ def kmeans(
     if n == 0 or k <= 0:
         raise ValueError("kmeans: empty input or k<=0")
 
-    # k-means++ on a bounded sample (deterministic): D² sampling in NumPy.
+    # k-means++ on a bounded sample (deterministic): D² sampling in NumPy
+    # over a seeded-hash-ordered driver sample.
+    c = _kmeanspp_seeds(data, k, seed)
+
+    inertia = float("inf")
+    iterations = 0
+    dim = c.shape[1]
+    for it in range(1, max_iter + 1):
+        iterations = it
+        # one distributed pass: per-partition (cluster, n, inertia, sum-vec)
+        # partials in NumPy, reduced by a k×dim-row groupBy — no by-id
+        # re-join, no per-dimension aggregate expressions.
+        partials = data.select("vec").mapInPandas(
+            _lloyd_stats_udf(c),
+            schema="cluster int, n long, inertia double, s array<double>",
+        )
+        rows = (
+            partials.select("cluster", "n", "inertia", F.posexplode("s").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum("val").alias("s"),
+                F.sum(F.when(F.col("pos") == 0, F.col("n"))).alias("n"),
+                F.sum(F.when(F.col("pos") == 0, F.col("inertia"))).alias("inertia"),
+            )
+            .collect()
+        )
+        new_c = c.copy()
+        sums = np.zeros((c.shape[0], dim))
+        counts = np.zeros(c.shape[0], dtype=np.int64)
+        new_inertia = 0.0
+        for r in rows:
+            sums[r["cluster"], r["pos"]] = r["s"]
+            if r["pos"] == 0:
+                counts[r["cluster"]] = r["n"]
+                new_inertia += r["inertia"]
+        nz = counts > 0
+        new_c[nz] = sums[nz] / counts[nz, None]
+        shift = float(np.max(np.linalg.norm(new_c - c, axis=1)))
+        c = new_c
+        inertia = new_inertia
+        if shift < tol:
+            break
+
+    # final assignment pass against the converged centroids
+    result = data.mapInPandas(
+        _assign_udf(c), schema="id long, cluster int, sq_dist double"
+    ).select("id", "cluster")
+    data.unpersist()
+    return KMeansResult(assignments=result, centroids=c, inertia=inertia, iterations=iterations)
+
+
+def _kmeanspp_seeds(
+    data: DataFrame, k: int, seed: int, sample_cap: int | None = None
+) -> np.ndarray:
+    """Deterministic k-means++ D²-sampling over a seeded-hash driver sample."""
     sample_pdf = (
-        data.orderBy(F.xxhash64("id"))  # seeded-hash order = deterministic sample
-        .limit(max(1000, 20 * k))
-        .toPandas()
+        data.orderBy(F.xxhash64("id")).limit(sample_cap or max(1000, 20 * k)).toPandas()
     )
     pts = np.stack(sample_pdf["vec"].to_numpy()).astype(np.float64)
     rng = np.random.default_rng(seed)
@@ -128,43 +229,116 @@ def kmeans(
         )
         probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(pts), 1.0 / len(pts))
         centroids.append(pts[rng.choice(len(pts), p=probs)])
-    c = np.asarray(centroids)
+    return np.asarray(centroids)
 
-    inertia = float("inf")
-    iterations = 0
-    assigned = None
-    for it in range(1, max_iter + 1):
-        iterations = it
-        assigned = data.mapInPandas(
-            _assign_udf(c), schema="id long, cluster int, sq_dist double"
-        ).persist()
-        stats = (
-            assigned.join(data, "id")
-            .groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.array(*[
-                    F.avg(F.element_at("vec", i + 1).cast("double")) for i in range(c.shape[1])
-                ]).alias("mean"),
-                F.sum("sq_dist").alias("inertia"),
+
+def elbow_k(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_max: int | None = None,
+    seed: int = 42,
+) -> tuple[int, list[tuple[int, float]]]:
+    """Elbow method for choosing k (reference ``web/static/js/clustering.js:
+    331-361``): inertia of the k-means++ seeds for k = 2..k_max, optimal k =
+    the interior point with the largest rate-of-change drop
+    (``diff1 - diff2``), capped at 10, default 3.
+
+    Each inertia is ONE distributed assignment pass (the per-partition NumPy
+    Lloyd-stats kernel), matching the reference's seeding-only inertia — it
+    never runs Lloyd to convergence per candidate k.
+    Returns ``(optimal_k, [(k, inertia), ...])``.
+    """
+    data = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).persist()
+    n = data.count()
+    if k_max is None:
+        k_max = min(15, n // 3)
+    inertias: list[tuple[int, float]] = []
+    for k in range(2, k_max + 1):
+        c = _kmeanspp_seeds(data, k, seed)
+        rows = (
+            data.select("vec")
+            .mapInPandas(
+                _lloyd_stats_udf(c), schema="cluster int, n long, inertia double, s array<double>"
             )
+            .agg(F.sum("inertia").alias("inertia"))
             .collect()
         )
-        new_c = c.copy()
-        new_inertia = 0.0
-        for r in stats:
-            new_c[r["cluster"]] = np.asarray(r["mean"], dtype=np.float64)
-            new_inertia += r["inertia"]
-        shift = float(np.max(np.linalg.norm(new_c - c, axis=1)))
-        c = new_c
-        inertia = new_inertia
-        if shift < tol:
-            break
-        assigned.unpersist()
-
-    result = assigned.select("id", "cluster")
+        inertias.append((k, float(rows[0]["inertia"] or 0.0)))
     data.unpersist()
-    return KMeansResult(assignments=result, centroids=c, inertia=inertia, iterations=iterations)
+
+    optimal, max_rate = 3, 0.0
+    for i in range(1, len(inertias) - 1):
+        diff1 = inertias[i - 1][1] - inertias[i][1]
+        diff2 = inertias[i][1] - inertias[i + 1][1]
+        rate = diff1 - diff2
+        if rate > max_rate:
+            max_rate = rate
+            optimal = inertias[i][0]
+    return min(optimal, 10), inertias
+
+
+def cluster_info(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    max_exemplars: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Full cluster-info surface (reference ``clustering.js:579-623``):
+    one row per non-empty cluster, **sorted by size desc and re-numbered**
+    like the reference — ``(cluster_id, size, center: array<double>,
+    exemplar_ids: array<long>)``; exemplars are the ``max_exemplars``
+    smallest member ids (deterministic stand-in for the reference's
+    insertion-ordered point list).
+    """
+    km = kmeans(df, id_col, vec_col, k=k, seed=seed)
+    sizes = (
+        km.assignments.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.slice(F.sort_array(F.collect_list("id")), 1, max_exemplars).alias("exemplar_ids"),
+        )
+    )
+    spark = df.sparkSession
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(km.centroids)],
+        "cluster int, center array<double>",
+    )
+    w = Window.orderBy(F.col("size").desc(), F.col("cluster"))  # ≤ k rows — bounded
+    return (
+        sizes.join(F.broadcast(centers), "cluster")
+        .withColumn("cluster_id", F.row_number().over(w) - 1)
+        .select("cluster_id", "size", "center", "exemplar_ids")
+    )
+
+
+def intra_cluster_edges(
+    assignments: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+    max_connections: int = 5,
+) -> DataFrame:
+    """Intra-cluster ring edges (reference ``web/static/js/visualization.js:
+    393-419``): per cluster, connect member i → member (i+1) mod n for
+    i < min(max_connections, n-1), members ordered deterministically by id.
+
+    Pure window + self-join per cluster — feeds the engine's edge table so
+    cluster structure can flow into the graph kernels.
+    """
+    w = Window.partitionBy(cluster_col).orderBy(id_col)
+    members = assignments.select(
+        F.col(cluster_col).alias("cluster"),
+        F.col(id_col).alias("id"),
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy(cluster_col)).alias("n"),
+    )
+    lhs = members.where(
+        F.col("i") < F.least(F.lit(max_connections), F.col("n") - 1)
+    ).select("cluster", F.col("id").alias("src"), ((F.col("i") + 1) % F.col("n")).alias("j"))
+    rhs = members.select("cluster", F.col("id").alias("dst"), F.col("i").alias("j"))
+    return lhs.join(rhs, ["cluster", "j"]).select("cluster", "src", "dst")
 
 
 # -- PCA ------------------------------------------------------------------------
@@ -182,23 +356,54 @@ def pca_project(df: DataFrame, id_col: str, vec_col: str, n_components: int = 3)
     n = data.count()
 
     def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE partial per partition (accumulated across Arrow batches), so the
+        # reduce sees #partitions rows, not #batches rows.
+        G = S = None
+        cnt = 0
         for pdf in batches:
+            if not len(pdf):
+                continue
             x = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-            g = x.T @ x
-            s = x.sum(axis=0)
-            yield pd.DataFrame(
-                {"g": [g.ravel().tolist()], "s": [s.tolist()], "cnt": [len(x)]}
-            )
+            if G is None:
+                G = np.zeros((x.shape[1], x.shape[1]))
+                S = np.zeros(x.shape[1])
+            G += x.T @ x
+            S += x.sum(axis=0)
+            cnt += len(x)
+        if G is not None:
+            yield pd.DataFrame({"g": [G.ravel().tolist()], "s": [S.tolist()], "cnt": [cnt]})
 
-    parts = data.select("vec").mapInPandas(
-        gram, schema="g array<double>, s array<double>, cnt long"
-    ).collect()
-    dim = len(parts[0]["s"])
-    G = np.zeros((dim, dim))
-    S = np.zeros(dim)
-    for r in parts:
-        G += np.asarray(r["g"]).reshape(dim, dim)
-        S += np.asarray(r["s"])
+    def reduce_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        G = S = None
+        cnt = 0
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                g = np.asarray(row["g"])
+                if G is None:
+                    G, S = np.zeros_like(g), np.zeros(len(row["s"]))
+                G += g
+                S += np.asarray(row["s"])
+                cnt += int(row["cnt"])
+        if G is not None:
+            yield pd.DataFrame({"g": [G.tolist()], "s": [S.tolist()], "cnt": [cnt]})
+
+    schema = "g array<double>, s array<double>, cnt long"
+    # tree-reduce the dim²-sized partials INSIDE Spark (partitions → ≤8 → 1);
+    # the driver collects exactly ONE dim² row, never #partitions of them —
+    # at 3072-d each partial is ~75 MB, so collecting thousands would OOM
+    # the driver while this stays bounded.
+    partials = data.select("vec").mapInPandas(gram, schema=schema)
+    reduced = (
+        partials.repartition(8)
+        .mapInPandas(reduce_gram, schema=schema)
+        .coalesce(1)
+        .mapInPandas(reduce_gram, schema=schema)
+        .collect()
+    )
+    r = reduced[0]
+    dim = len(r["s"])
+    G = np.asarray(r["g"]).reshape(dim, dim)
+    S = np.asarray(r["s"])
     mean = S / n
     cov = G / n - np.outer(mean, mean)
     vals, vecs = np.linalg.eigh(cov)

@@ -25,6 +25,7 @@ vertex ids so DuckDB can verify them:
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -564,7 +565,12 @@ def dedup_minhash_signatures_q(spark, sf_dir):
     "SELECT a, b, round((eq / 8.0) + 1e-9, 6) AS est_jaccard FROM pairs",
 )
 def dedup_minhash_lsh_q(spark, sf_dir):
-    sigs = dedup.minhash_signatures(load(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=8)
+    # localCheckpoint the (small, doc-sized) signature relation: it feeds the
+    # band join AND both sides of the signature re-attach — without it the
+    # shingle explode + groupBy lineage would run three times.
+    sigs = dedup.minhash_signatures(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=8
+    ).localCheckpoint(eager=False)
     out = dedup.minhash_lsh_candidates(sigs, bands=4, rows_per_band=2)
     return out.select("a", "b", _r6("est_jaccard").alias("est_jaccard"))
 
@@ -577,9 +583,63 @@ def dedup_minhash_lsh_q(spark, sf_dir):
     "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.42",
 )
 def dedup_embedding_cosine_q(spark, sf_dir):
-    """J8: all-pairs embedding near-duplicates (reference README.md:216)."""
+    """J8: all-pairs embedding near-duplicates (reference README.md:216) —
+    the exact testable form; the registered scale path is
+    ``dedup_embedding_lsh_gated``."""
     out = dedup.embedding_near_dups(load(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.42)
     return out.select("a", "b", _r6("cos").alias("cos"))
+
+
+def _srp_bits_sql(bands: int, width: int) -> str:
+    """DuckDB twin of the sign-random-projection band bits."""
+    bits = " || ".join(
+        f"CASE WHEN embedding[band*{width}+{d+1}] >= 0 THEN '1' ELSE '0' END"
+        for d in range(width)
+    )
+    return (
+        f"WITH bk AS (SELECT vec_id, band, bits FROM "
+        f"(SELECT vec_id, unnest(range({bands})) AS band, embedding FROM embeddings "
+        f"WHERE embedding IS NOT NULL) t, LATERAL (SELECT {bits} AS bits) x)"
+    )
+
+
+@_register(
+    "dedup_embedding_lsh_gated",
+    _srp_bits_sql(4, 8) + ", "
+    "cand AS (SELECT DISTINCT a.vec_id AS a, b.vec_id AS b FROM bk a JOIN bk b "
+    "ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id) "
+    "SELECT cand.a, cand.b, "
+    "round((list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])) + 1e-9, 6) AS cos "
+    "FROM cand JOIN embeddings ea ON ea.vec_id = cand.a "
+    "JOIN embeddings eb ON eb.vec_id = cand.b "
+    "WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.42",
+)
+def dedup_embedding_lsh_gated_q(spark, sf_dir):
+    """Embedding near-dups, LSH candidates → exact scorer — the 100-TB
+    registered path (reference README.md:216): no all-pairs cross join
+    anywhere in the plan; the oracle replays the identical sign-LSH banding."""
+    out = dedup.embedding_near_dups_lsh(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.42, bands=4, band_width=8,
+    )
+    return out.select("a", "b", _r6("cos").alias("cos"))
+
+
+@_register(
+    "dedup_embedding_by_group",
+    "SELECT a.vec_id AS a, b.vec_id AS b, a.label, "
+    "round((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) + 1e-9, 6) AS cos "
+    "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.42",
+)
+def dedup_embedding_by_group_q(spark, sf_dir):
+    """Group-scoped duplicate detection — the reference's ``embed duplicates
+    --user <name>`` (README.md:216; DUAL_EMBEDDING_TDD_PLAN.md:742-743) with
+    label standing in for user_nickname."""
+    out = dedup.embedding_near_dups_grouped(
+        load(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", threshold=0.42
+    )
+    return out.select("a", "b", "label", _r6("cos").alias("cos"))
 
 
 # =============================================================================
@@ -743,14 +803,17 @@ def graph_pagerank_5iter(spark, sf_dir):
         .distinct()
         .select(vertex_id("role", "name").alias("vid"), "name")
     )
+    store = CheckpointStore(tempfile.mkdtemp(prefix="twspark_q_pr_"))
     run = pagerank(
         edges,
         max_iter=5,
         tol=1e-18,  # never converges early → exactly 5 supersteps
-        store=CheckpointStore(tempfile.mkdtemp(prefix="twspark_q_pr_")),
+        store=store,
         resume=False,
         checkpoint_every=5,
     )
+    # run.state is localCheckpoint-ed in memory — the durable store can go
+    shutil.rmtree(store.root, ignore_errors=True)
     return run.state.join(names, "vid").select("name", _r6("rank").alias("rank"))
 
 
@@ -781,12 +844,15 @@ def graph_cc_labels(spark, sf_dir):
         .distinct()
         .withColumn("weight", F.lit(1.0))
     )
-    run = connected_components(
-        edges,
-        store=CheckpointStore(tempfile.mkdtemp(prefix="twspark_q_cc_")),
-        resume=False,
-        checkpoint_every=10,
-    )
+    store = CheckpointStore(tempfile.mkdtemp(prefix="twspark_q_cc_"))
+    run = connected_components(edges, store=store, resume=False, checkpoint_every=10)
+    if not run.converged:
+        # min-label CC is O(diameter) supersteps; a silent cap would emit
+        # partially-propagated labels — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge within {run.supersteps} supersteps"
+        )
+    shutil.rmtree(store.root, ignore_errors=True)
     return run.state.select("vid", "label")
 
 
@@ -840,13 +906,9 @@ def graph_lpa_communities(spark, sf_dir):
         .distinct()
         .select(vertex_id("role", "name").alias("vid"), "name")
     )
-    run = label_propagation(
-        edges,
-        max_iter=10,
-        store=CheckpointStore(tempfile.mkdtemp(prefix="twspark_q_lpa_")),
-        resume=False,
-        checkpoint_every=10,
-    )
+    store = CheckpointStore(tempfile.mkdtemp(prefix="twspark_q_lpa_"))
+    run = label_propagation(edges, max_iter=10, store=store, resume=False, checkpoint_every=10)
+    shutil.rmtree(store.root, ignore_errors=True)
     lbl_names = names.select(F.col("vid").alias("label"), F.col("name").alias("community"))
     return (
         run.state.join(names, "vid")
@@ -876,12 +938,195 @@ def vector_ann_ivf(spark, sf_dir):
     return out.select("id", _r6("similarity").alias("similarity"))
 
 
-@_register("dedup_simhash")  # xxhash64-based; property-tested in pytest
+def _simhash_sql(bits: int = 32, chunks: int = 4, max_hamming: int = 6) -> str:
+    """DuckDB twin of the SimHash pipeline: the md5-derived 32-bit token hash
+    is engine-portable, so the oracle replays fingerprints byte-for-byte."""
+    width = bits // chunks
+    mask = (1 << width) - 1
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return (
+        "WITH tk AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok "
+        "FROM documents), "
+        "t2 AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tk "
+        "WHERE length(tok) > 0), "
+        f"sums AS (SELECT doc_id, {bit_sums} FROM t2 GROUP BY doc_id), "
+        f"fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums), "
+        f"ch AS (SELECT doc_id, simhash, c AS chunk, (simhash >> (c * {width})) & {mask} AS cv "
+        f"FROM fp, (SELECT unnest(range({chunks})) AS c) cs), "
+        "cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, a.simhash AS ha, b.simhash AS hb "
+        "FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id) "
+        "SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming FROM cand "
+        f"WHERE bit_count(xor(ha, hb)) <= {max_hamming}"
+    )
+
+
+@_register("dedup_simhash", _simhash_sql(32, 4, 6))
 def dedup_simhash(spark, sf_dir):
-    """SimHash fingerprints + hamming-band near-dup candidates."""
+    """SimHash fingerprints + hamming-band near-dup candidates, fully
+    oracle-verified (md5-derived token hash, portable to DuckDB)."""
     docs = load(spark, sf_dir, "documents")
     fps = dedup.simhash(docs, "doc_id", "text", bits=32)
-    return dedup.simhash_near_dups(fps, bits=32, chunks=4, max_hamming=6)
+    out = dedup.simhash_near_dups(fps, bits=32, chunks=4, max_hamming=6)
+    return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# =============================================================================
+# Clustering surface / dual embeddings / exports (round-2 additions)
+# =============================================================================
+
+@_register(
+    "vector_centroid_assign",
+    "WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < 8), "
+    "d AS (SELECT e.vec_id, c.cid, list_distance(e.embedding::DOUBLE[], c.cvec) AS dist "
+    "FROM embeddings e CROSS JOIN c), "
+    "r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) "
+    "SELECT CAST(cid AS BIGINT) AS cluster, count(*) AS n FROM r WHERE rn = 1 GROUP BY cid",
+)
+def vector_centroid_assign(spark, sf_dir):
+    """K2's assignment kernel under fixed centroids (vec_id<8 rows), so the
+    engine's Arrow argmin path is driver-verifiable: nearest-centroid
+    histogram, ties to the smaller centroid index."""
+    from .operators.similarity import _assign_udf
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    cent_rows.sort(key=lambda r: r["vec_id"])
+    c = np.asarray([[float(x) for x in r["embedding"]] for r in cent_rows])
+    data = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    assigned = data.mapInPandas(_assign_udf(c), schema="id long, cluster int, sq_dist double")
+    return assigned.groupBy(F.col("cluster").cast("bigint").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_LPA_EDGES_SQL = (
+    "WITH e AS (SELECT l_suppkey * 10 + 1 AS src, l_partkey * 10 + 2 AS dst, "
+    "CAST(count(*) AS DOUBLE) AS w FROM lineitem WHERE l_partkey % 20 = 0 GROUP BY 1, 2)"
+)
+
+
+@_register(
+    "graph_lpa_1iter",
+    _LPA_EDGES_SQL + ", "
+    "s AS (SELECT src, dst, sum(w) AS w FROM "
+    "(SELECT src, dst, w FROM e UNION ALL SELECT dst AS src, src AS dst, w FROM e) "
+    "GROUP BY 1, 2), "
+    "votes AS (SELECT dst AS vid, src AS label, w AS votes FROM s), "
+    "win AS (SELECT vid, label, row_number() OVER "
+    "(PARTITION BY vid ORDER BY votes DESC, label ASC) AS rn FROM votes) "
+    "SELECT vid, label FROM win WHERE rn = 1",
+)
+def graph_lpa_1iter(spark, sf_dir):
+    """One LPA superstep over the supplier↔part graph through the full engine
+    path (symmetrize, salted scatter, argmax-vote window) — the synchronous
+    recursion unrolled so the driver oracle can replay it as plain SQL."""
+    from .graph import label_propagation
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 20 == 0)
+    edges = (
+        li.groupBy(
+            (F.col("l_suppkey") * 10 + 1).alias("src"),
+            (F.col("l_partkey") * 10 + 2).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    store = CheckpointStore(tempfile.mkdtemp(prefix="twspark_q_lpa1_"))
+    run = label_propagation(
+        edges, max_iter=1, store=store, resume=False, checkpoint_every=10
+    )
+    # run.state is localCheckpoint-ed in memory — the durable store can go
+    shutil.rmtree(store.root, ignore_errors=True)
+    return run.state.select("vid", "label")
+
+
+@_register(
+    "graph_cluster_edges",
+    "WITH m AS (SELECT label AS cluster, vec_id AS id, "
+    "row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1 AS i, "
+    "count(*) OVER (PARTITION BY label) AS n FROM embeddings), "
+    "l AS (SELECT cluster, id AS src, (i + 1) % n AS j FROM m WHERE i < least(5, n - 1)) "
+    "SELECT l.cluster, l.src, r.id AS dst FROM l JOIN m r ON r.cluster = l.cluster AND r.i = l.j",
+)
+def graph_cluster_edges(spark, sf_dir):
+    """K8: intra-cluster ring edges (reference web/static/js/visualization.js:
+    393-419) over the embeddings' label groups — cluster structure feeding
+    the engine's edge table."""
+    from .operators.similarity import intra_cluster_edges
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("label").alias("cluster")
+    )
+    return intra_cluster_edges(emb, max_connections=5)
+
+
+@_register("vector_elbow_k")  # seeded k-means++ inertia curve; pytest-verified
+def vector_elbow_k(spark, sf_dir):
+    """K3: elbow method (reference web/static/js/clustering.js:331-361):
+    (k, inertia) curve for k=2..8 plus the chosen optimal k."""
+    from .operators.similarity import elbow_k
+
+    emb = load(spark, sf_dir, "embeddings")
+    optimal, curve = elbow_k(emb, "vec_id", "embedding", k_max=8)
+    return spark.createDataFrame(
+        [(k, float(i), k == optimal) for k, i in curve],
+        "k int, inertia double, is_optimal boolean",
+    )
+
+
+@_register("vector_cluster_info")  # iterative k-means; pytest-verified
+def vector_cluster_info(spark, sf_dir):
+    """K4: full cluster-info surface (reference clustering.js:579-623):
+    per-cluster size + center + exemplar ids, sorted by size, re-numbered."""
+    from .operators.similarity import cluster_info
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = cluster_info(emb, "vec_id", "embedding", k=8, max_exemplars=10)
+    return out.select("cluster_id", "size", "exemplar_ids")
+
+
+@_register(
+    "agg_dual_embedding_status",
+    "SELECT label, count(*) AS total, "
+    "count(CASE WHEN vec_id % 3 <> 0 THEN 1 END) AS with_openai, "
+    "count(CASE WHEN vec_id % 5 <> 0 THEN 1 END) AS with_gemini, "
+    "count(CASE WHEN vec_id % 3 <> 0 AND vec_id % 5 <> 0 THEN 1 END) AS with_both, "
+    "count(CASE WHEN vec_id % 3 <> 0 OR vec_id % 5 <> 0 THEN 1 END) AS with_either, "
+    "count(CASE WHEN vec_id % 3 = 0 THEN 1 END) AS pending_openai, "
+    "count(CASE WHEN vec_id % 5 = 0 THEN 1 END) AS pending_gemini "
+    "FROM embeddings GROUP BY label",
+)
+def agg_dual_embedding_status(spark, sf_dir):
+    """T9: dual-provider status rollup per group (reference
+    add_dual_embeddings.sql:30-49, orchestrator.go:60-136). Provider coverage
+    is synthesized deterministically (vec_id mod rules) so both engines see
+    identical dual columns."""
+    from .operators.dual_embedding import dual_status_rollup
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.when(F.col("vec_id") % 3 != 0, F.col("embedding")).alias("embedding_openai"),
+        F.when(F.col("vec_id") % 5 != 0, F.col("embedding")).alias("embedding_gemini"),
+    )
+    return dual_status_rollup(emb, "embedding_openai", "embedding_gemini", "label")
+
+
+@_register(
+    "export_rfc3339",
+    "SELECT event_id, strftime(ts AT TIME ZONE 'UTC', '%Y-%m-%dT%H:%M:%SZ') AS ts_rfc3339 "
+    "FROM events WHERE event_id % 100 = 0",
+)
+def export_rfc3339(spark, sf_dir):
+    """C6: RFC3339 timestamp formatting in exports (reference export.go:31,
+    api/v1/services/export.go:105)."""
+    from .sources.exports import rfc3339
+
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") % 100 == 0)
+    return ev.select("event_id", rfc3339("ts").alias("ts_rfc3339"))
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -900,11 +1145,11 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(vertex_id("role", "name").alias("vid"), "name")
     )
-    run = pagerank(
-        edges,
-        store=CheckpointStore(tempfile.mkdtemp(prefix="twspark_flagship_")),
-        resume=False,
-    )
+    store = CheckpointStore(tempfile.mkdtemp(prefix="twspark_flagship_"))
+    run = pagerank(edges, store=store, resume=False)
+    if not run.converged:
+        raise RuntimeError(f"pagerank did not converge within {run.supersteps} supersteps")
+    shutil.rmtree(store.root, ignore_errors=True)
     return (
         run.state.join(names, "vid")
         .select("name", "rank")

@@ -128,6 +128,9 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Workers must be able to import this package regardless of the driver's
+    # cwd/sys.path (grading harness, bench subprocesses, spark-submit).
+    ship_package(spark)
     return spark
 
 

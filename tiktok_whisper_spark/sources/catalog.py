@@ -49,7 +49,7 @@ def _superstep_dir(root: str, run_id: str, superstep: int) -> str:
 class CheckpointStore:
     """Per-superstep atomic state + metrics + lineage commits on local/DFS paths."""
 
-    def __init__(self, root: str, backend: str = "parquet") -> None:
+    def __init__(self, root: str, backend: str = "parquet", codec: str | None = None) -> None:
         if backend == "iceberg":
             raise NotImplementedError(
                 "Iceberg backend needs iceberg-spark-runtime on the classpath; "
@@ -60,6 +60,10 @@ class CheckpointStore:
             raise ValueError(f"unknown backend {backend!r}")
         self.root = root
         self.backend = backend
+        # Checkpoint codec: 'none' on tmpfs/NVMe-local stores (CPU-bound
+        # compression costs more than the bytes), snappy/zstd on object
+        # stores where the bytes dominate. Env override for benches.
+        self.codec = codec or os.environ.get("SPARK_GRAFT_CKPT_CODEC", "snappy")
         os.makedirs(root, exist_ok=True)
 
     # -- write path ---------------------------------------------------------
@@ -96,7 +100,7 @@ class CheckpointStore:
         state_dir = os.path.join(step_dir, "state")
         if os.path.exists(step_dir) and not os.path.exists(os.path.join(step_dir, _MANIFEST)):
             shutil.rmtree(step_dir)  # torn write from a killed run — redo
-        state.write.mode("overwrite").parquet(state_dir)
+        state.write.mode("overwrite").option("compression", self.codec).parquet(state_dir)
         return state_dir
 
     def finalize(

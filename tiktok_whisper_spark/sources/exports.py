@@ -18,10 +18,30 @@ documented as such.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["to_csv", "to_json", "to_excel", "to_markdown"]
+__all__ = ["rfc3339", "with_rfc3339_timestamps", "to_csv", "to_json", "to_excel", "to_markdown"]
+
+# Go's time.RFC3339 ("2006-01-02T15:04:05Z07:00") — the reference formats
+# every exported timestamp with it (export.go:31; api/v1/services/export.go:
+# 105). XXX renders "Z" for UTC, "+08:00" otherwise, matching Go exactly.
+_RFC3339 = "yyyy-MM-dd'T'HH:mm:ssXXX"
+
+
+def rfc3339(col: Column | str) -> Column:
+    """C6: RFC3339 timestamp formatting (``export.go:31``)."""
+    return F.date_format(col, _RFC3339)
+
+
+def with_rfc3339_timestamps(df: DataFrame) -> DataFrame:
+    """Format every timestamp column as an RFC3339 string, like the
+    reference's export rows."""
+    out = df
+    for f in df.schema.fields:
+        if f.dataType.typeName() in ("timestamp", "timestamp_ntz"):
+            out = out.withColumn(f.name, rfc3339(f.name))
+    return out
 
 
 def with_embedding_flags(df: DataFrame, openai_col: str = "embedding_openai",
@@ -36,8 +56,9 @@ def with_embedding_flags(df: DataFrame, openai_col: str = "embedding_openai",
 
 
 def to_csv(df: DataFrame, path: str, drop_vectors: bool = True) -> None:
-    """S8: header CSV; vector columns become has_* booleans, not payloads."""
-    out = with_embedding_flags(df)
+    """S8: header CSV; vector columns become has_* booleans, timestamps
+    RFC3339 strings, not payloads."""
+    out = with_rfc3339_timestamps(with_embedding_flags(df))
     if drop_vectors:
         arrays = [f.name for f in out.schema.fields if f.dataType.typeName() == "array"]
         out = out.drop(*arrays)
@@ -45,9 +66,10 @@ def to_csv(df: DataFrame, path: str, drop_vectors: bool = True) -> None:
 
 
 def to_json(df: DataFrame, path: str) -> None:
-    """S9: JSON-lines export, embeddings elided (``export.go:120-143``)."""
+    """S9: JSON-lines export, embeddings elided, timestamps RFC3339
+    (``export.go:120-143``)."""
     arrays = [f.name for f in df.schema.fields if f.dataType.typeName() == "array"]
-    df.drop(*arrays).write.mode("overwrite").json(path)
+    with_rfc3339_timestamps(df.drop(*arrays)).write.mode("overwrite").json(path)
 
 
 def to_excel(df: DataFrame, path: str, max_rows: int = 100_000) -> bool:
