@@ -102,6 +102,31 @@ def test_cc_two_cliques_component_count(spark):
 
 
 @pytest.mark.parametrize("name", list(GRAPHS))
+def test_cc_star_matches_oracle(spark, name):
+    from tiktok_whisper_spark.graph import connected_components_star
+
+    triples = GRAPHS[name]
+    run = connected_components_star(_edges_df(spark, triples), checkpoint_every=10)
+    got = {r["vid"]: r["label"] for r in run.state.collect()}
+    assert run.converged
+    assert got == cc_oracle(triples)
+
+
+def test_cc_star_long_chain_converges_in_log_rounds(spark):
+    """The scale property: a diameter-60 path needs ~60 min-label supersteps
+    but only O(log n) star rounds — this is WHY the star variant exists."""
+    from tiktok_whisper_spark.graph import connected_components_star
+
+    chain = [(i, i + 1, 1.0) for i in range(60)]
+    run = connected_components_star(_edges_df(spark, chain), checkpoint_every=10)
+    assert run.converged
+    assert run.supersteps <= 10  # log₂(61) ≈ 6 rounds, not 60
+    got = {r["vid"]: r["label"] for r in run.state.collect()}
+    assert got == cc_oracle(chain)
+    assert set(got.values()) == {0}
+
+
+@pytest.mark.parametrize("name", list(GRAPHS))
 def test_lpa_matches_oracle(spark, name):
     triples = GRAPHS[name]
     run = label_propagation(_edges_df(spark, triples), max_iter=10, checkpoint_every=10)

@@ -1,6 +1,6 @@
 """Link-graph kernels: PageRank, connected components, LPA, triangles."""
 
-from .cc import connected_components
+from .cc import connected_components, connected_components_star
 from .lpa import label_propagation
 from .pagerank import pagerank
 from .runner import GraphRun, run_supersteps
@@ -9,6 +9,7 @@ from .triangles import triangle_counts
 __all__ = [
     "GraphRun",
     "connected_components",
+    "connected_components_star",
     "label_propagation",
     "pagerank",
     "run_supersteps",

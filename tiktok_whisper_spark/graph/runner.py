@@ -139,12 +139,27 @@ class _Committer:
 
 
 def _materialize(
-    state: DataFrame, partition_aggs: list[F.Column], name: str
+    state: DataFrame, partition_aggs: list[F.Column], name: str, max_attempts: int = 2
 ) -> tuple[DataFrame, dict[str, Any]]:
-    """localCheckpoint the state; kernel aggregates ride the same job via observe."""
-    obs = Observation(name)
-    cached = state.observe(obs, *partition_aggs).localCheckpoint(eager=True)
-    return cached, dict(obs.get)
+    """localCheckpoint the state; kernel aggregates ride the same job via observe.
+
+    Superstep-level retry mirrors the reference's batch retry policy (≤2
+    attempts, exponential backoff — ``internal/app/temporal/workflows/
+    batch.go:130-135``): Spark already retries *tasks*; this catches
+    job-level transients (executor loss mid-localCheckpoint) without
+    abandoning an otherwise-resumable run.
+    """
+    last: BaseException | None = None
+    for attempt in range(max_attempts):
+        try:
+            obs = Observation(f"{name}-a{attempt}")
+            cached = state.observe(obs, *partition_aggs).localCheckpoint(eager=True)
+            return cached, dict(obs.get)
+        except Exception as exc:  # noqa: BLE001 — deliberate job-level retry
+            last = exc
+            if attempt + 1 < max_attempts:
+                time.sleep(2.0 * (2**attempt))
+    raise last  # type: ignore[misc]
 
 
 def run_supersteps(

@@ -205,19 +205,41 @@ def _load_shard(shard_dir: str, pid: int):
 
     import pyarrow.parquet as pq
 
+    # Workers read shards through pyarrow's FileSystem API, so shard_dir may
+    # be any URI pyarrow supports (file://, s3://, gs://, hdfs://) — on a
+    # multi-executor cluster the shards live in the object store, not on a
+    # local path that silently assumes a shared filesystem.
+    if "://" in shard_dir:
+        from pyarrow import fs as pafs
+
+        filesystem, base = pafs.FileSystem.from_uri(shard_dir)
+        path = f"{base}/pid={pid}"
+        if filesystem.get_file_info(path).type == pafs.FileType.NotFound:
+            _SHARD_CACHE[key] = None
+            return None
+        tbl = pq.read_table(path, columns=["src", "dst", "p"], filesystem=filesystem)
+        entry = _factorize_shard(tbl)
+        _SHARD_CACHE[key] = entry
+        return entry
+
     path = os.path.join(shard_dir, f"pid={pid}")
     if not os.path.isdir(path):
         entry = None  # shard has no edges
     else:
         tbl = pq.read_table(path, columns=["src", "dst", "p"])
-        src = tbl.column("src").to_numpy()
-        dst = tbl.column("dst").to_numpy()
-        p = tbl.column("p").to_numpy().astype(np.float64)
-        src_codes, src_uniq = pd.factorize(src, sort=False)
-        dst_codes, dst_uniq = pd.factorize(dst, sort=False)
-        entry = (src_codes, src_uniq, dst_codes, dst_uniq, p)
+        entry = _factorize_shard(tbl)
     _SHARD_CACHE[key] = entry
     return entry
+
+
+def _factorize_shard(tbl):
+    """Arrow table → factorized CSR-ish arrays (src/dst codes + uniques)."""
+    src = tbl.column("src").to_numpy()
+    dst = tbl.column("dst").to_numpy()
+    p = tbl.column("p").to_numpy().astype(np.float64)
+    src_codes, src_uniq = pd.factorize(src, sort=False)
+    dst_codes, dst_uniq = pd.factorize(dst, sort=False)
+    return (src_codes, src_uniq, dst_codes, dst_uniq, p)
 
 
 def csr_gather(state: DataFrame, shard_dir: str) -> DataFrame:

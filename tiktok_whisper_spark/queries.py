@@ -857,6 +857,39 @@ def graph_cc_labels(spark, sf_dir):
 
 
 @_register(
+    "graph_cc_star_labels",
+    _SP_EDGES_SQL.replace("WITH ", "WITH RECURSIVE ", 1) + ", "
+    "u AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+    "v AS (SELECT DISTINCT src AS vid FROM u), "
+    "reach(vid, r) AS (SELECT vid, vid FROM v UNION "
+    "SELECT u.dst, reach.r FROM reach JOIN u ON u.src = reach.vid) "
+    "SELECT vid, min(r) AS label FROM reach GROUP BY vid",
+)
+def graph_cc_star_labels(spark, sf_dir):
+    """Connected components via large-star/small-star (O(log n) rounds — the
+    long-chain scale path), same labels as graph_cc_labels, same recursive-CTE
+    oracle."""
+    from .graph import connected_components_star
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 20 == 0)
+    edges = (
+        li.select(
+            (F.col("l_suppkey") * 10 + 1).alias("src"),
+            (F.col("l_partkey") * 10 + 2).alias("dst"),
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    store = CheckpointStore(tempfile.mkdtemp(prefix="twspark_q_ccs_"))
+    run = connected_components_star(edges, store=store, resume=False, checkpoint_every=10)
+    if not run.converged:
+        raise RuntimeError(f"cc_star did not converge within {run.supersteps} rounds")
+    out = run.state.localCheckpoint(eager=True)  # labels join derives from store-backed state
+    shutil.rmtree(store.root, ignore_errors=True)
+    return out
+
+
+@_register(
     "graph_triangle_count",
     "WITH pp AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u, "
     "greatest(a.l_partkey, b.l_partkey) AS v FROM lineitem a "
