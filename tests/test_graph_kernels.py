@@ -126,6 +126,65 @@ def test_cc_star_long_chain_converges_in_log_rounds(spark):
     assert set(got.values()) == {0}
 
 
+def test_pagerank_local_mode_matches_csr_and_oracle(spark, tmp_path):
+    """scatter_mode='local' (conversation-locality partitioning: adjacency
+    edges never shuffle, only tool-hub contributions do) must produce the
+    SAME ranks as the csr path and the NumPy oracle."""
+    from tiktok_whisper_spark import datagen
+    from tiktok_whisper_spark.operators.edges import turn_adjacency_edges, turn_tool_edges
+    from tiktok_whisper_spark.sources.catalog import CheckpointStore
+
+    t = datagen.transcripts(spark, n_convs=120, seed=7)
+    e_home = (
+        turn_adjacency_edges(t, include_home=True)
+        .unionByName(turn_tool_edges(t, include_home=True))
+        .localCheckpoint()
+    )
+    r_local = pagerank(
+        e_home, scatter_mode="local",
+        store=CheckpointStore(str(tmp_path / "l")), resume=False,
+    )
+    r_csr = pagerank(
+        e_home.select("src", "dst", "weight"), scatter_mode="csr",
+        store=CheckpointStore(str(tmp_path / "c")), resume=False,
+    )
+    assert r_local.converged and r_csr.converged
+    gl = {r["vid"]: r["rank"] for r in r_local.state.collect()}
+    gc = {r["vid"]: r["rank"] for r in r_csr.state.collect()}
+    assert gl.keys() == gc.keys()
+    for v in gl:
+        assert abs(gl[v] - gc[v]) < 1e-12
+    # and against the float64 oracle
+    triples = [(r["src"], r["dst"], r["weight"]) for r in e_home.collect()]
+    want = pagerank_oracle(triples)
+    np.testing.assert_allclose(
+        [gl[v] for v in sorted(gl)], [want[v] for v in sorted(want)], atol=1e-6
+    )
+
+
+def test_pagerank_local_mode_kill_resume(spark, tmp_path):
+    from tiktok_whisper_spark import datagen
+    from tiktok_whisper_spark.operators.edges import turn_adjacency_edges, turn_tool_edges
+    from tiktok_whisper_spark.sources.catalog import CheckpointStore
+
+    t = datagen.transcripts(spark, n_convs=60, seed=9)
+    e = (
+        turn_adjacency_edges(t, include_home=True)
+        .unionByName(turn_tool_edges(t, include_home=True))
+        .localCheckpoint()
+    )
+    store = CheckpointStore(str(tmp_path / "ck"))
+    full = pagerank(e, scatter_mode="local", store=store, run_id="full", resume=False)
+    part = pagerank(e, scatter_mode="local", store=store, run_id="k", max_iter=3, resume=False)
+    assert not part.converged
+    res = pagerank(e, scatter_mode="local", store=store, run_id="k", resume=True)
+    assert res.converged and res.resumed_from == 3
+    gf = {r["vid"]: r["rank"] for r in full.state.collect()}
+    gr = {r["vid"]: r["rank"] for r in res.state.collect()}
+    for v in gf:
+        assert abs(gf[v] - gr[v]) < 1e-12
+
+
 @pytest.mark.parametrize("name", list(GRAPHS))
 def test_lpa_matches_oracle(spark, name):
     triples = GRAPHS[name]

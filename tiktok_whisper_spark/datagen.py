@@ -53,8 +53,8 @@ _VOCAB = [
 _BASE_TS = np.datetime64("2026-01-01T00:00:00")
 
 
-def _conv_rows(seed: int, conv: int, dup_rate: float) -> pd.DataFrame:
-    """All turns of one conversation — pure function of (seed, conv)."""
+def _conv_arrays(seed: int, conv: int, dup_rate: float) -> dict:
+    """All turns of one conversation as raw arrays — pure fn of (seed, conv)."""
     rng = np.random.default_rng(np.uint64(seed * 1_000_003 + conv))
     n_turns = int(rng.integers(2, 51))
     turn_idx = np.arange(n_turns, dtype=np.int32)
@@ -80,16 +80,19 @@ def _conv_rows(seed: int, conv: int, dup_rate: float) -> pd.DataFrame:
     gaps = rng.integers(1, 120, n_turns).cumsum()
     ts = _BASE_TS + (np.int64(conv) * 86_400 + gaps).astype("timedelta64[s]")
 
-    return pd.DataFrame(
-        {
-            "conv_id": f"conv_{conv:08d}",
-            "turn_idx": turn_idx,
-            "role": roles,
-            "text": text,
-            "tool": tools,
-            "ts": ts.astype("datetime64[us]"),
-        }
-    )
+    return {
+        "conv_id": np.full(n_turns, f"conv_{conv:08d}", dtype=object),
+        "turn_idx": turn_idx,
+        "role": roles,
+        "text": text,
+        "tool": tools,
+        "ts": ts.astype("datetime64[us]"),
+    }
+
+
+def _conv_rows(seed: int, conv: int, dup_rate: float) -> pd.DataFrame:
+    """All turns of one conversation — pure function of (seed, conv)."""
+    return pd.DataFrame(_conv_arrays(seed, conv, dup_rate))
 
 
 def transcripts(
@@ -104,9 +107,16 @@ def transcripts(
         num_partitions = max(1, min(n_convs, spark.sparkContext.defaultParallelism))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one DataFrame per Arrow batch, assembled from per-conv numpy arrays
+        # (identical values — the per-conv rng streams are unchanged — but
+        # without a pandas constructor per conversation, ~10x faster at
+        # bench graph sizes)
         for pdf in batches:
-            for conv in pdf["id"].to_numpy():
-                yield _conv_rows(seed, int(conv), dup_rate)
+            parts = [_conv_arrays(seed, int(conv), dup_rate) for conv in pdf["id"].to_numpy()]
+            if parts:
+                yield pd.DataFrame(
+                    {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+                )
 
     return (
         spark.range(0, n_convs, numPartitions=num_partitions)

@@ -227,6 +227,11 @@ def connected_components(
         }
         return metrics, {}, converged
 
+    def restore_fn(loaded: DataFrame) -> DataFrame:
+        if "prev_label" in loaded.columns:
+            return loaded
+        return loaded.select("vid", "label", F.col("label").alias("prev_label"))
+
     try:
         return run_supersteps(
             spark,
@@ -239,6 +244,8 @@ def connected_components(
             max_iter=max_iter,
             resume=resume,
             checkpoint_every=checkpoint_every,
+            checkpoint_cols=["vid", "label"],
+            restore_fn=restore_fn,
         )
     finally:
         pe.unpersist()

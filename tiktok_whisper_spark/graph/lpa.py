@@ -107,6 +107,11 @@ def label_propagation(
         }
         return metrics, {}, converged
 
+    def restore_fn(loaded: DataFrame) -> DataFrame:
+        if "prev_label" in loaded.columns:
+            return loaded
+        return loaded.select("vid", "label", F.col("label").alias("prev_label"))
+
     try:
         return run_supersteps(
             spark,
@@ -119,6 +124,8 @@ def label_propagation(
             max_iter=max_iter,
             resume=resume,
             checkpoint_every=checkpoint_every,
+            checkpoint_cols=["vid", "label"],
+            restore_fn=restore_fn,
         )
     finally:
         pe.unpersist()

@@ -15,12 +15,27 @@ role→tool usage graph (SURVEY.md §1.5); its rank-like surface is the user
 leaderboard (``web/handlers/api.go:377-388``) — PageRank generalizes "who
 matters" from raw counts to link structure.
 
-Scale design: the edge table is partitioned and persisted once
-(:func:`~tiktok_whisper_spark.graph.scatter.prepare_edges` — hub keys
-salted); each superstep shuffles only the vertex-sized rank frame, gathers
-via Arrow-batch NumPy partial sums, and commits state + metrics + lineage
-through :class:`~tiktok_whisper_spark.sources.catalog.CheckpointStore`, so a
-killed job resumes from the last complete superstep.
+Three scatter modes, one recurrence:
+
+* ``csr`` (default) — adjacency shards partitioned like the vertex state;
+  each superstep ships only (vid, rank) through Arrow, gathers with
+  NumPy ``factorize``/``bincount``, and pays ONE shuffle (the gather
+  ``groupBy(dst)``) plus an exchange-free SHUFFLE_HASH update join.
+* ``local`` — **conversation-locality supersteps** for edge tables with
+  ``src_home``/``dst_home`` keys: the state is hash-partitioned by home, so
+  every turn-adjacency edge (the overwhelming majority) is partition-LOCAL.
+  Each superstep is two tiny DataFrame jobs whose tasks read their state
+  partition as a parquet file (pyarrow — the vectorized columnar path),
+  gather + update in NumPy, write the next state partition, and emit ONE
+  metrics row each; only the tool-hub (remote) contributions — a handful of
+  rows per shard after pre-reduction — cross partitions, via a driver-merged
+  dict. Durable per-superstep checkpoints are *inherent*: the superstep
+  output IS the checkpoint. (Why files instead of streaming the state
+  through mapInPandas: Spark 4.1's JVM→Python Arrow writer walks the vector
+  tree per row to enforce maxBytesPerBatch — ~5µs/row of non-scaling CPU —
+  while pyarrow's parquet reader moves the same columns at memory speed.)
+* ``arrow``/``sql`` — the salted scatter-join path (hub-key splitting via
+  broadcast joins), kept for plan comparison on generic graphs.
 """
 
 from __future__ import annotations
@@ -28,13 +43,26 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+import zlib
+from collections.abc import Iterator
+from typing import Any
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import CheckpointStore
 from .runner import GraphRun, run_supersteps
-from .scatter import csr_gather, prepare_edges, scatter_gather, write_edge_shards
+from .scatter import (
+    _load_shard_split,
+    csr_gather,
+    local_gather_sums,
+    prepare_edges,
+    scatter_gather,
+    write_edge_shards,
+    write_edge_shards_local,
+)
 
 __all__ = ["pagerank"]
 
@@ -56,12 +84,32 @@ def pagerank(
     """Run PageRank over ``edges(src, dst, weight, ...)`` to convergence.
 
     Returns a :class:`GraphRun` whose ``state`` has
-    ``(vid:long, rank:double, prev_rank:double, dangling:boolean)``.
+    ``(vid:long, rank:double, prev_rank:double, dangling:boolean)``
+    (plus ``home`` in local mode).
     """
     spark: SparkSession = edges.sparkSession
     store = store or CheckpointStore(tempfile.mkdtemp(prefix="twspark_pr_"))
     run_id = run_id or f"pagerank-{uuid.uuid4().hex[:12]}"
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    has_home = "src_home" in edges.columns and "dst_home" in edges.columns
+    if scatter_mode == "local":
+        if not has_home:
+            raise ValueError(
+                "scatter_mode='local' needs src_home/dst_home locality columns "
+                "(derive edges with include_home=True); without them every edge "
+                "is remote and the mode degenerates — use 'csr' instead"
+            )
+        return _pagerank_local_files(
+            edges,
+            damping=damping,
+            tol=tol,
+            max_iter=max_iter,
+            store=store,
+            run_id=run_id,
+            resume=resume,
+            num_partitions=num_partitions,
+        )
 
     # -- one-time graph preparation (recomputed cheaply on resume) ----------
     e = edges.groupBy("src", "dst").agg(F.sum("weight").alias("w"))
@@ -73,8 +121,10 @@ def pagerank(
     num_edges = 0
     if scatter_mode == "csr":
         # adjacency shards aligned with the state's hash partitioning —
-        # written once per run (reused on resume), worker-cached thereafter
-        shard_dir = os.path.join(store.root, run_id, "_edge_shards")
+        # written once per run (reused on resume), worker-cached thereafter.
+        # Partition count in the dir name: a resume under a different
+        # spark.sql.shuffle.partitions must re-shard, not silently misalign.
+        shard_dir = os.path.join(store.root, run_id, f"_edge_shards_p{num_partitions}")
         if not os.path.exists(os.path.join(shard_dir, "_DONE")):
             write_edge_shards(enorm, shard_dir, num_partitions)
             open(os.path.join(shard_dir, "_DONE"), "w").close()
@@ -118,7 +168,7 @@ def pagerank(
         # both sides are hash-partitioned on the join key (state by vid from
         # localCheckpoint, sums by dst from the gather groupBy) — the
         # shuffle_hash hint turns the exchange-free SMJ into an exchange-free
-        # hash join, skipping two 15M-row sorts per superstep.
+        # hash join, skipping two vertex-sized sorts per superstep.
         return (
             state.join(sums.hint("shuffle_hash"), state["vid"] == sums["dst"], "left_outer")
             .select(
@@ -132,8 +182,8 @@ def pagerank(
             )
         )
 
-    # distributive per-partition partials, combined on the driver (one job
-    # per superstep computes these together with the lineage rows)
+    # distributive per-partition partials, combined on the driver (evaluated
+    # as a single observe row riding the materialization job)
     partition_aggs = [
         F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("p_delta_max"),
         F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))).alias(
@@ -159,6 +209,13 @@ def pagerank(
         }
         return metrics, {"dangling_sum": dangling_sum}, converged
 
+    def restore_fn(loaded: DataFrame) -> DataFrame:
+        # prev_rank is regenerated every superstep — not persisted (halves
+        # the durable write); rebuild the full schema on resume.
+        if "prev_rank" in loaded.columns:
+            return loaded
+        return loaded.select("vid", "rank", F.col("rank").alias("prev_rank"), "dangling")
+
     try:
         return run_supersteps(
             spark,
@@ -171,8 +228,513 @@ def pagerank(
             max_iter=max_iter,
             resume=resume,
             checkpoint_every=checkpoint_every,
+            checkpoint_cols=["vid", "rank", "dangling"],
+            restore_fn=restore_fn,
         )
     finally:
         if pe is not None:
             pe.unpersist()
         vertices.unpersist()
+
+
+# =============================================================================
+# Locality (file-superstep) mode
+# =============================================================================
+
+_STATE_COLS = ["vid", "home", "rank", "dangling"]
+
+
+def _static_dir(store: CheckpointStore, run_id: str, P: int) -> str:
+    return os.path.join(store.root, run_id, f"_static_p{P}")
+
+
+def _state_dir(store: CheckpointStore, run_id: str, k: int) -> str:
+    return os.path.join(store.root, run_id, f"superstep={k:06d}", "state")
+
+
+def _part_path(state_dir: str, pid: int) -> str:
+    return os.path.join(state_dir, f"part-{pid:05d}.parquet")
+
+
+def _rank_path(state_dir: str, pid: int) -> str:
+    return os.path.join(state_dir, f"rank-{pid:05d}.f64")
+
+
+def _write_rank_part(state_dir: str, pid: int, ranks: np.ndarray, recycle_dir: str | None) -> None:
+    """Write one partition's rank vector as raw float64, recycling pages.
+
+    Postgres-WAL-style segment recycling: the retired superstep's file (same
+    byte size — the vertex set is fixed) is renamed into place and
+    overwritten WITHOUT truncation, so tmpfs pages are reused instead of
+    freshly faulted. On this sandbox's hypervisor, fresh anonymous/tmpfs
+    pages zero at ~2.2 GB/s machine-wide while warm pages rewrite at
+    ~15 GB/s — recycling turns the per-superstep durable write from the
+    dominant fixed cost into noise. A torn write is harmless: the manifest
+    (written after the whole job) is the commit point, and a retried task
+    rewrites the full fixed-size segment.
+    """
+    os.makedirs(state_dir, exist_ok=True)
+    path = _rank_path(state_dir, pid)
+    buf = np.ascontiguousarray(ranks, dtype=np.float64)
+    if not os.path.exists(path) and recycle_dir is not None:
+        old = _rank_path(recycle_dir, pid)
+        if os.path.exists(old) and os.path.getsize(old) == buf.nbytes:
+            try:
+                os.replace(old, path)
+            except OSError:
+                pass
+    with open(path, "r+b" if os.path.exists(path) else "wb") as f:
+        f.write(memoryview(buf).cast("B"))
+        f.truncate(buf.nbytes)
+
+
+def _read_rank_part(state_dir: str, pid: int) -> np.ndarray | None:
+    path = _rank_path(state_dir, pid)
+    if not os.path.exists(path):
+        return None
+    return np.fromfile(path, dtype=np.float64)
+
+
+def _read_state_part(state_dir: str, pid: int, columns: list[str] | None = None):
+    import pyarrow.parquet as pq
+
+    if "://" in state_dir:
+        from pyarrow import fs as pafs
+
+        filesystem, base = pafs.FileSystem.from_uri(state_dir)
+        path = f"{base}/part-{pid:05d}.parquet"
+        if filesystem.get_file_info(path).type == pafs.FileType.NotFound:
+            return None
+        return pq.read_table(path, columns=columns, filesystem=filesystem)
+    path = _part_path(state_dir, pid)
+    if not os.path.exists(path):
+        return None
+    return pq.read_table(path, columns=columns)
+
+
+def _write_state_part(state_dir: str, pid: int, table) -> None:
+    """Atomic per-partition state write (tmp + rename survives task retries).
+
+    On object-store URIs the single-PUT write is already atomic per object;
+    the manifest (written only after the whole job succeeds) remains the
+    all-or-nothing commit point either way.
+    """
+    import pyarrow.parquet as pq
+
+    if "://" in state_dir:
+        from pyarrow import fs as pafs
+
+        filesystem, base = pafs.FileSystem.from_uri(state_dir)
+        filesystem.create_dir(base, recursive=True)
+        pq.write_table(table, f"{base}/part-{pid:05d}.parquet",
+                       compression="none", filesystem=filesystem)
+        return
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = _part_path(state_dir, pid) + f".tmp-{os.getpid()}"
+    pq.write_table(table, tmp, compression="none")
+    os.replace(tmp, _part_path(state_dir, pid))
+
+
+def _part_metrics(vids, ranks, prev, dangling, tol) -> dict[str, Any]:
+    delta = np.abs(ranks - prev)
+    return {
+        "n_rows": int(len(vids)),
+        "checksum": int(
+            zlib.crc32(vids.tobytes()) ^ zlib.crc32(np.ascontiguousarray(ranks).tobytes())
+        ),
+        "delta_max": float(delta.max()) if len(delta) else 0.0,
+        "dangling_sum": float(ranks[dangling].sum()) if len(ranks) else 0.0,
+        "total_mass": float(ranks.sum()),
+        "active": int((delta > tol).sum()),
+    }
+
+
+def _remote_partials(sd: str, pid: int, vids, ranks) -> pd.DataFrame | None:
+    """Pre-reduced contributions along this shard's REMOTE edges, as rows of
+    the fused metrics schema (pid NULL marks them as remote rows)."""
+    shard = _load_shard_split(sd, pid)
+    if shard is None or shard["remote"] is None:
+        return None
+    src_codes, src_uniq, dst_codes, dst_uniq, p = shard["remote"]
+    aligned = pd.Series(ranks, index=vids).reindex(src_uniq).to_numpy()
+    if np.isnan(aligned).any():
+        raise RuntimeError(f"remote gather misalignment in partition {pid}")
+    sums = np.bincount(dst_codes, weights=p * aligned[src_codes], minlength=len(dst_uniq))
+    out = pd.DataFrame({"dst": dst_uniq, "c": sums})
+    for col in ("pid", "n_rows", "checksum", "delta_max", "dangling_sum", "total_mass", "active"):
+        out[col] = None
+    return out
+
+
+# one row per partition (metrics + lineage) ∪ remote-partial rows for the
+# NEXT superstep (pid NULL) — a single fused job per superstep
+_METRICS_SCHEMA = (
+    "pid int, n_rows long, checksum long, delta_max double, "
+    "dangling_sum double, total_mass double, active long, dst long, c double"
+)
+
+
+def _pagerank_local_files(
+    edges: DataFrame,
+    *,
+    damping: float,
+    tol: float,
+    max_iter: int,
+    store: CheckpointStore,
+    run_id: str,
+    resume: bool,
+    num_partitions: int,
+) -> GraphRun:
+    """Conversation-locality PageRank: per-partition file supersteps.
+
+    Every superstep is two small DataFrame jobs over a P-row frame (one row
+    per partition):
+
+    * **remote pass** — each task loads its shard's REMOTE edges (turn→tool;
+      pre-reduced to ≤ #hubs rows) and the previous state file, emits the
+      remote contributions; the driver merges them into a dict (tiny).
+    * **update pass** — each task loads its shard's LOCAL edges + the state
+      file, computes the full gather + rank update in NumPy, writes the next
+      state file (pyarrow, atomic rename), and emits ONE metrics row
+      (count/checksum lineage + convergence partials).
+
+    The heavy data never crosses the Python⇄JVM socket and never shuffles;
+    durable per-superstep checkpoints are the superstep output itself, and
+    the manifest commit (after the job) keeps the all-or-nothing semantics.
+    """
+    spark = edges.sparkSession
+    P = num_partitions
+    d = damping
+
+    # AQE off for the whole loop: the init write derives each file's pid from
+    # spark_partition_id(), which must equal pmod(hash(home), P) — AQE's
+    # partition coalescing would renumber partitions and misalign the files
+    # against the shards (same invariant as the runner's superstep loop).
+    _aqe_key = "spark.sql.adaptive.enabled"
+    _old_aqe = spark.conf.get(_aqe_key, "true")
+    spark.conf.set(_aqe_key, "false")
+    try:
+        return _pagerank_local_files_inner(
+            edges, damping=damping, tol=tol, max_iter=max_iter, store=store,
+            run_id=run_id, resume=resume, num_partitions=num_partitions,
+        )
+    finally:
+        spark.conf.set(_aqe_key, _old_aqe)
+
+
+def _pagerank_local_files_inner(
+    edges: DataFrame,
+    *,
+    damping: float,
+    tol: float,
+    max_iter: int,
+    store: CheckpointStore,
+    run_id: str,
+    resume: bool,
+    num_partitions: int,
+) -> GraphRun:
+    spark = edges.sparkSession
+    P = num_partitions
+    d = damping
+
+    # -- prep: normalized edges with locality keys, split shards -------------
+    # Shards, static vertex files and graph meta are deterministic
+    # re-derivations of the edge table — a warm run dir (re-bench at another
+    # parallelism level, resume, fresh run under the same run_id) skips the
+    # whole normalize/shard/vertices pipeline.
+    shard_dir = os.path.join(store.root, run_id, f"_edge_shards_p{P}")
+    static_meta = os.path.join(_static_dir(store, run_id, P), "_META.json")
+    vertices = None
+    if os.path.exists(os.path.join(shard_dir, "_DONE")) and os.path.exists(static_meta):
+        import json as _json
+
+        with open(static_meta) as fh:
+            meta = _json.load(fh)
+        n, num_edges = int(meta["n"]), int(meta["num_edges"])
+    else:
+        e = edges.groupBy("src", "dst").agg(
+            F.sum("weight").alias("w"),
+            F.first("src_home").alias("src_home"),
+            F.first("dst_home").alias("dst_home"),
+        )
+        out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+        enorm = e.join(out_w, "src").select(
+            "src", "dst", (F.col("w") / F.col("out_w")).alias("p"), "src_home", "dst_home"
+        )
+        if not os.path.exists(os.path.join(shard_dir, "_DONE")):
+            write_edge_shards_local(enorm, shard_dir, P)
+            open(os.path.join(shard_dir, "_DONE"), "w").close()
+        num_edges = enorm.count()
+
+        vertices = (
+            e.select(F.col("src").alias("vid"), F.col("src_home").alias("home"))
+            .unionByName(e.select(F.col("dst").alias("vid"), F.col("dst_home").alias("home")))
+            .groupBy("vid")
+            .agg(F.min("home").alias("home"))
+            .join(
+                out_w.select(F.col("src").alias("vid"), F.lit(True).alias("has_out")),
+                "vid",
+                "left",
+            )
+            .select("vid", "home", F.coalesce(F.col("has_out"), F.lit(False)).alias("has_out"))
+        )
+        n = vertices.count()
+    if n == 0:
+        raise ValueError("pagerank: empty edge set")
+
+    # pack the P per-partition work items into ~one task per core: every
+    # Python task costs a worker round-trip (~10 ms), so 64 tasks on 8 cores
+    # would pay the fixed job cost twice over for nothing
+    master = spark.sparkContext.master
+    if master.startswith("local[") and "*" not in master:
+        n_slots = int(master[len("local["):-1])
+    else:
+        n_slots = spark.sparkContext.defaultParallelism
+    n_tasks = min(P, max(1, n_slots))
+    pids = spark.range(P, numPartitions=n_tasks).select(F.col("id").cast("int").alias("pid"))
+    sd = shard_dir
+    static_dir = _static_dir(store, run_id, P)
+    history: list[dict[str, Any]] = []
+    carry: dict[str, Any] = {}
+    resumed_from: int | None = None
+    start = 0
+    import time as _time
+
+    def _split_rows(rows: list) -> tuple[list[dict], dict[int, float]]:
+        metrics_rows, remote = [], {}
+        for r in rows:
+            d_ = r.asDict()
+            if d_["pid"] is not None:
+                metrics_rows.append(d_)
+            else:
+                remote[int(d_["dst"])] = remote.get(int(d_["dst"]), 0.0) + float(d_["c"])
+        return metrics_rows, remote
+
+    def _combine(rows: list[dict], k: int) -> tuple[dict, list[dict], bool]:
+        delta_max = max((r["delta_max"] for r in rows), default=0.0)
+        metrics = {
+            "kernel": "pagerank",
+            "delta_max": delta_max,
+            "total_mass": sum(r["total_mass"] for r in rows),
+            "active_vertices": sum(r["active"] for r in rows),
+            "edges_processed": num_edges,
+            "n_vertices": n,
+        }
+        lineage = [
+            {"partition_id": r["pid"], "n_rows": r["n_rows"], "checksum": r["checksum"]}
+            for r in rows
+        ]
+        converged = k > 0 and delta_max < tol
+        return metrics, lineage, converged
+
+    def _state_df(k: int) -> DataFrame:
+        """Full state DataFrame reconstructed from static + rank-k files."""
+
+        def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for pid in pdf["pid"].to_numpy():
+                    st = _read_state_part(static_dir, int(pid))
+                    rk = _read_rank_part(_state_dir(store, run_id, k), int(pid))
+                    if st is None or rk is None:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "vid": st.column("vid").to_numpy(),
+                            "home": st.column("home").to_numpy(),
+                            "rank": rk,
+                            "prev_rank": rk,
+                            "dangling": st.column("dangling").to_numpy(),
+                        }
+                    )
+
+        return pids.mapInPandas(
+            build, schema="vid long, home long, rank double, prev_rank double, dangling boolean"
+        )
+
+    if resume:
+        latest = store.latest(run_id)
+        if latest is not None:
+            man = store.manifest(run_id, latest)
+            carry = man["carry"]
+            history = store.metrics_history(run_id)
+            resumed_from = latest
+            if carry.get("_converged"):
+                return GraphRun(_state_df(latest), run_id, latest, True, history, resumed_from)
+            start = latest + 1
+    if resumed_from is None and not resume:
+        store.clear_run(run_id)
+
+    _tol = tol
+    base = (1.0 - d) / n
+
+    if start == 0:
+        # superstep 0: write the static columns ONCE (vid/home/dangling) and
+        # the initial rank vector; emit metrics + the remote partials for
+        # superstep 1 — per-superstep durable bytes from here on are the
+        # rank vector only (the north rule's "checkpoints rank vectors").
+        t0 = _time.monotonic()
+        sdir0 = _state_dir(store, run_id, 0)
+        inv_n = 1.0 / n
+
+        def write_init(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import pyarrow as pa
+
+            pdfs = [b for b in batches if len(b)]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            pid = int(pdf["pid"].iloc[0])
+            vids = pdf["vid"].to_numpy()
+            ranks = pdf["rank"].to_numpy()
+            dang = pdf["dangling"].to_numpy(dtype=bool)
+            _write_state_part(
+                static_dir,
+                pid,
+                pa.table(
+                    {
+                        "vid": pa.array(vids, pa.int64()),
+                        "home": pa.array(pdf["home"].to_numpy(), pa.int64()),
+                        "dangling": pa.array(dang, pa.bool_()),
+                    }
+                ),
+            )
+            _write_rank_part(sdir0, pid, ranks, None)
+            m = _part_metrics(vids, ranks, ranks, dang, _tol)
+            m["delta_max"] = 0.0
+            m["active"] = 0
+            yield pd.DataFrame([{"pid": pid, **m, "dst": None, "c": None}])
+            rp = _remote_partials(sd, pid, vids, ranks)
+            if rp is not None:
+                yield rp
+
+        def init_warm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # static files already on disk (warm run dir): only the constant
+            # 1/n rank vector needs writing
+            for pdf in batches:
+                for pid in pdf["pid"].to_numpy():
+                    pid = int(pid)
+                    st = _read_state_part(static_dir, pid)
+                    if st is None:
+                        continue
+                    vids = st.column("vid").to_numpy()
+                    dang = st.column("dangling").to_numpy()
+                    ranks = np.full(len(vids), inv_n)
+                    _write_rank_part(sdir0, pid, ranks, None)
+                    m = _part_metrics(vids, ranks, ranks, dang, _tol)
+                    m["delta_max"] = 0.0
+                    m["active"] = 0
+                    yield pd.DataFrame([{"pid": pid, **m, "dst": None, "c": None}])
+                    rp = _remote_partials(sd, pid, vids, ranks)
+                    if rp is not None:
+                        yield rp
+
+        if vertices is not None:
+            init = vertices.select(
+                "vid", "home", F.lit(inv_n).alias("rank"), (~F.col("has_out")).alias("dangling")
+            ).repartition(P, "home")
+            rows = (
+                init.select(F.spark_partition_id().alias("pid"), *_STATE_COLS)
+                .mapInPandas(write_init, schema=_METRICS_SCHEMA)
+                .collect()
+            )
+            import json as _json
+
+            with open(static_meta, "w") as fh:
+                _json.dump({"n": n, "num_edges": num_edges, "P": P}, fh)
+        else:
+            rows = pids.mapInPandas(init_warm, schema=_METRICS_SCHEMA).collect()
+        metrics_rows, remote = _split_rows(rows)
+        metrics, lineage, _ = _combine(metrics_rows, 0)
+        carry = {
+            "dangling_sum": sum(r["dangling_sum"] for r in metrics_rows),
+            "remote": {str(k_): v for k_, v in remote.items()},
+        }
+        metrics.update(superstep=0, wall_ms=round(1000 * (_time.monotonic() - t0), 1))
+        store.finalize(run_id, 0, lineage, metrics, carry)
+        history.append(metrics)
+        start = 1
+
+    converged = bool(carry.get("_converged"))
+    last = start - 1
+    for k in range(start, max_iter + 1):
+        t0 = _time.monotonic()
+        prev_dir = _state_dir(store, run_id, k - 1)
+        next_dir = _state_dir(store, run_id, k)
+        dpv = carry["dangling_sum"] / n
+        remote = {int(k_): float(v) for k_, v in carry.get("remote", {}).items()}
+
+        # retention window 2: writing superstep k recycles k-2's segments —
+        # k and k-1 stay durable, which is exactly what resume needs
+        recycle_dir = _state_dir(store, run_id, k - 2) if k >= 2 else None
+
+        def update_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import time as _t
+
+            instr = os.environ.get("TWSPARK_INSTR")
+            marks: list = []
+
+            def mk(name, t0):
+                if instr:
+                    marks.append((name, _t.perf_counter() - t0))
+
+            for pdf in batches:
+                for pid in pdf["pid"].to_numpy():
+                    pid = int(pid)
+                    t0 = _t.perf_counter()
+                    st = _read_state_part(static_dir, pid)
+                    ranks = _read_rank_part(prev_dir, pid)
+                    mk("read", t0)
+                    if st is None or ranks is None:
+                        continue
+                    vids = st.column("vid").to_numpy()
+                    dang = st.column("dangling").to_numpy()
+                    t0 = _t.perf_counter()
+                    shard = _load_shard_split(sd, pid)
+                    mk("shard", t0)
+                    t0 = _t.perf_counter()
+                    local_c = local_gather_sums(vids, ranks, shard, pid)
+                    mk("local", t0)
+                    t0 = _t.perf_counter()
+                    new_rank = base + d * (local_c + dpv)
+                    if remote:
+                        # remote dsts (tool hubs) are FEW and live in their
+                        # own home partition — targeted position lookups beat
+                        # a vertex-sized hash reindex per partition
+                        rvids = np.fromiter(remote.keys(), dtype=np.int64, count=len(remote))
+                        for rv in rvids[np.isin(rvids, vids)]:
+                            pos = np.nonzero(vids == rv)[0]
+                            new_rank[pos] += d * remote[int(rv)]
+                    mk("remote_align", t0)
+                    t0 = _t.perf_counter()
+                    _write_rank_part(next_dir, pid, new_rank, recycle_dir)
+                    mk("write", t0)
+                    t0 = _t.perf_counter()
+                    m = _part_metrics(vids, new_rank, ranks, dang, _tol)
+                    mk("metrics", t0)
+                    yield pd.DataFrame([{"pid": pid, **m, "dst": None, "c": None}])
+                    t0 = _t.perf_counter()
+                    rp = _remote_partials(sd, pid, vids, new_rank)
+                    mk("rpartials", t0)
+                    if rp is not None:
+                        yield rp
+            if instr and marks:
+                with open(f"{instr}/{os.getpid()}.log", "a") as f:
+                    for name, dt in marks:
+                        f.write(f"{name} {dt:.4f}\n")
+
+        rows = pids.mapInPandas(update_pass, schema=_METRICS_SCHEMA).collect()
+        metrics_rows, next_remote = _split_rows(rows)
+        metrics, lineage, converged = _combine(metrics_rows, k)
+        carry = {
+            "dangling_sum": sum(r["dangling_sum"] for r in metrics_rows),
+            "remote": {str(k_): v for k_, v in next_remote.items()},
+            "_converged": converged,
+        }
+        metrics.update(superstep=k, wall_ms=round(1000 * (_time.monotonic() - t0), 1))
+        store.finalize(run_id, k, lineage, metrics, carry)
+        history.append(metrics)
+        last = k
+        if converged:
+            break
+
+    return GraphRun(_state_df(last), run_id, last, converged, history, resumed_from)

@@ -119,8 +119,11 @@ class _Committer:
         state: DataFrame,
         metrics: dict[str, Any],
         carry: dict[str, Any],
+        checkpoint_cols: list[str] | None = None,
     ) -> None:
         self.wait()
+        if checkpoint_cols:
+            state = state.select(*checkpoint_cols)
 
         def work() -> None:
             try:
@@ -175,6 +178,8 @@ def run_supersteps(
     resume: bool = True,
     checkpoint_every: int = 1,
     partition_key: str = "vid",
+    checkpoint_cols: list[str] | None = None,
+    restore_fn: Callable[[DataFrame], DataFrame] | None = None,
 ) -> GraphRun:
     """Drive ``step_fn`` to convergence with per-superstep atomic commits.
 
@@ -182,14 +187,26 @@ def run_supersteps(
     commits every superstep per the engine contract; k>1 commits every k-th
     superstep plus the final/converged one — resume then recomputes at most
     k-1 supersteps.
+
+    ``checkpoint_cols`` restricts the durable state to the columns resume
+    actually needs (e.g. PageRank regenerates ``prev_rank`` every superstep
+    — persisting it would double the write for nothing). ``restore_fn``
+    rebuilds the full state schema from a loaded checkpoint on resume.
     """
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # The iterative loop depends on a FIXED hash partitioning (state by vid
-    # aligned with edge shards / persisted edges); AQE's partition coalescing
-    # would re-number partitions mid-run. Toggle it off for the loop only.
-    _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
-    _old_coalesce = spark.conf.get(_coalesce_key, "true")
-    spark.conf.set(_coalesce_key, "false")
+    # aligned with edge shards / persisted edges). AQE must be OFF inside the
+    # loop — not just partition coalescing: under AQE, Dataset.localCheckpoint
+    # snapshots the AdaptiveSparkPlan's outputPartitioning as Unknown, so the
+    # NEXT superstep's update join re-shuffles the ENTIRE vertex state every
+    # iteration (measured: 2 exchanges/superstep instead of 1, the state
+    # exchange being vertex-sized). With AQE off, the checkpointed state
+    # keeps hashpartitioning(vid, P) and the join is exchange-free. AQE stays
+    # on for everything outside the loop (right for one-shot relational
+    # plans; wrong for a fixed-partitioning fixpoint loop).
+    _aqe_key = "spark.sql.adaptive.enabled"
+    _old_aqe = spark.conf.get(_aqe_key, "true")
+    spark.conf.set(_aqe_key, "false")
     committer = _Committer(store, run_id)
     try:
         history: list[dict[str, Any]] = []
@@ -204,8 +221,11 @@ def run_supersteps(
                 man = store.manifest(run_id, latest)
                 carry = man["carry"]
                 history = store.metrics_history(run_id)
+                loaded = store.load_state(spark, run_id, latest)
+                if restore_fn is not None:
+                    loaded = restore_fn(loaded)
                 state = (
-                    store.load_state(spark, run_id, latest)
+                    loaded
                     .repartition(num_partitions, partition_key)
                     .localCheckpoint(eager=True)
                 )
@@ -230,7 +250,7 @@ def run_supersteps(
             )
             metrics, carry, _ = combine_fn([partial], carry, 0)
             metrics.update(superstep=0, wall_ms=round(1000 * (time.monotonic() - t0), 1))
-            committer.submit(0, state, metrics, carry)
+            committer.submit(0, state, metrics, carry, checkpoint_cols)
             history.append(metrics)
             start = 1
 
@@ -254,7 +274,8 @@ def run_supersteps(
                 checkpoint_every <= 1 or k % checkpoint_every == 0 or k == max_iter or converged
             )
             if commit:
-                committer.submit(k, new_state, metrics, carry)  # waits for commit k-1
+                # waits for commit k-1 (ordering), then overlaps superstep k+1
+                committer.submit(k, new_state, metrics, carry, checkpoint_cols)
             else:
                 committer.wait()  # commit k-1 must finish before state k-1 is dropped
             history.append(metrics)
@@ -276,4 +297,4 @@ def run_supersteps(
         try:
             committer.wait()
         finally:
-            spark.conf.set(_coalesce_key, _old_coalesce)
+            spark.conf.set(_aqe_key, _old_aqe)

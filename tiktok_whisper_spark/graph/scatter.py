@@ -35,7 +35,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PartitionedEdges", "prepare_edges", "scatter_gather"]
+__all__ = [
+    "PartitionedEdges",
+    "prepare_edges",
+    "scatter_gather",
+    "csr_gather",
+    "csr_remote_gather",
+    "local_gather_sums",
+    "write_edge_shards",
+    "write_edge_shards_local",
+    "shard_pid",
+]
 
 
 @dataclass
@@ -281,6 +291,178 @@ def csr_gather(state: DataFrame, shard_dir: str) -> DataFrame:
     )
     partials = with_pid.mapInPandas(gather, schema="dst long, c double")
     return partials.groupBy("dst").agg(F.sum("c").alias("c"))
+
+
+# -----------------------------------------------------------------------------
+# Locality-split CSR shards: conversation-local edges never shuffle
+# -----------------------------------------------------------------------------
+#
+# Transcript graphs have massive *edge locality*: turn-adjacency edges (the
+# overwhelming majority) connect turns of the SAME conversation. When every
+# vertex carries a `home` locality key (turns: their conversation's hash;
+# tools: themselves) and state is hash-partitioned by `home`, an adjacency
+# edge's src and dst land in the same partition BY CONSTRUCTION — so its
+# contribution can be gathered AND applied entirely inside one Python worker,
+# never crossing an exchange. Only the remote edges (turn → tool hubs, a few
+# distinct dsts after per-shard pre-reduction) shuffle, and their aggregate
+# is small enough to broadcast back. This is the PowerGraph-style placement
+# insight expressed in DataFrame terms: per superstep the engine moves the
+# vertex frame through Arrow twice and shuffles ~|tools| rows — instead of
+# shuffling and hash-aggregating an edge-sized (75M-row at bench scale)
+# partial table.
+
+def write_edge_shards_local(enorm: DataFrame, shard_dir: str, num_partitions: int) -> None:
+    """One-time shard write for locality mode.
+
+    ``enorm`` must carry ``(src, dst, p, src_home, dst_home)``; shards are
+    keyed by ``pid = pmod(hash(src_home), P)`` with an ``is_local`` flag
+    marking edges whose dst lives in the same partition.
+    """
+    (
+        enorm.withColumn("pid", shard_pid(F.col("src_home"), num_partitions))
+        .withColumn(
+            "is_local",
+            shard_pid(F.col("dst_home"), num_partitions) == F.col("pid"),
+        )
+        .select("src", "dst", "p", "pid", "is_local")
+        .repartition("pid")
+        .write.mode("overwrite")
+        .partitionBy("pid")
+        .parquet(shard_dir)
+    )
+
+
+_SPLIT_ARRAYS = ("src_codes", "src_uniq", "dst_codes", "dst_uniq", "p")
+
+
+def _load_shard_split(shard_dir: str, pid: int):
+    """Factorized (local, remote) halves of one locality shard.
+
+    The factorized arrays are *compiled once* per shard into raw ``.npy``
+    files (atomic rename) and loaded with ``np.load(mmap_mode="r")`` — every
+    worker on the machine then shares ONE page-cached copy, and a task
+    landing on a worker that never saw this pid costs microseconds instead
+    of a parquet read + two factorizations (~1 core-second; Spark assigns
+    tasks to workers arbitrarily, so per-worker private caches re-paid that
+    constantly). The small in-process cache only avoids re-opening files.
+    """
+    key = (shard_dir, pid, "split")
+    if key in _SHARD_CACHE:
+        return _SHARD_CACHE[key]
+    for stale in [k for k in _SHARD_CACHE if k[0] != shard_dir]:
+        del _SHARD_CACHE[stale]
+    import os
+
+    path = os.path.join(shard_dir, f"pid={pid}")
+    if not os.path.isdir(path):
+        _SHARD_CACHE[key] = None
+        return None
+
+    cdir = os.path.join(path, "_compiled_v2")
+    marker = os.path.join(cdir, "_OK")
+    if not os.path.exists(marker):
+        _compile_shard_split(path, cdir)
+    entry = {}
+    for half in ("local", "remote"):
+        if not os.path.exists(os.path.join(cdir, f"{half}_p.npy")):
+            entry[half] = None
+            continue
+        arrs = tuple(
+            np.load(os.path.join(cdir, f"{half}_{name}.npy"), mmap_mode="r")
+            for name in _SPLIT_ARRAYS
+        )
+        entry[half] = arrs
+    _SHARD_CACHE[key] = entry
+    return entry
+
+
+def _compile_shard_split(path: str, cdir: str) -> None:
+    """One-time factorization of a locality shard into mmap-able npy files."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=["src", "dst", "p", "is_local"])
+    mask = tbl.column("is_local").to_numpy()
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(cdir), prefix="_compile_")
+    for half, sub in (("local", tbl.filter(mask)), ("remote", tbl.filter(~mask))):
+        if sub.num_rows == 0:
+            continue
+        arrs = _factorize_shard(sub)
+        for name, arr in zip(_SPLIT_ARRAYS, arrs):
+            if name.endswith("_codes"):
+                # per-shard code space is far below 2^31 — int32 codes cut
+                # the per-superstep shard-scan bytes (the DRAM-bandwidth
+                # floor of the gather) by a third
+                arr = arr.astype(np.int32)
+            np.save(os.path.join(tmp, f"{half}_{name}.npy"), np.ascontiguousarray(arr))
+    open(os.path.join(tmp, "_OK"), "w").close()
+    try:
+        os.replace(tmp, cdir)  # atomic publish; concurrent compilers race benignly
+    except OSError:
+        import shutil as _sh
+
+        _sh.rmtree(tmp, ignore_errors=True)
+
+
+def csr_remote_gather(state: DataFrame, shard_dir: str) -> DataFrame:
+    """Pass A of the locality superstep: contributions along REMOTE edges
+    only — ``(dst, c)``, pre-reduced per shard. On a transcript graph this is
+    a few rows per shard (the tool hubs), so the downstream groupBy+broadcast
+    is negligible."""
+
+    def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if not pdfs:
+            return
+        pid = int(pdfs[0]["pid"].iloc[0])
+        shard = _load_shard_split(shard_dir, pid)
+        if shard is None or shard["remote"] is None:
+            return
+        src_codes, src_uniq, dst_codes, dst_uniq, p = shard["remote"]
+        ranks = pd.concat(pdfs, ignore_index=True)
+        aligned = (
+            pd.Series(ranks["rank"].to_numpy(), index=ranks["vid"].to_numpy())
+            .reindex(src_uniq)
+            .to_numpy()
+        )
+        if np.isnan(aligned).any():
+            missing = int(np.isnan(aligned).sum())
+            raise RuntimeError(
+                f"csr_remote_gather misalignment: {missing} shard srcs missing "
+                f"from state partition {pid} — state is not partitioned by the "
+                "home key the shards were written with"
+            )
+        contrib = p * aligned[src_codes]
+        sums = np.bincount(dst_codes, weights=contrib, minlength=len(dst_uniq))
+        yield pd.DataFrame({"dst": dst_uniq, "c": sums})
+
+    with_pid = state.select(F.spark_partition_id().alias("pid"), "vid", "rank")
+    partials = with_pid.mapInPandas(gather, schema="dst long, c double")
+    return partials.groupBy("dst").agg(F.sum("c").alias("c"))
+
+
+def local_gather_sums(pdf_vids: np.ndarray, pdf_ranks: np.ndarray, shard, pid: int) -> np.ndarray:
+    """Pass-B kernel: local-edge contributions per vid of this partition.
+
+    Pure NumPy; raises loudly on misalignment (a local edge endpoint missing
+    from the partition means the home-partitioning contract is broken).
+    """
+    if shard is None or shard["local"] is None:
+        return np.zeros(len(pdf_vids))
+    src_codes, src_uniq, dst_codes, dst_uniq, p = shard["local"]
+    idx = pd.Series(pdf_ranks, index=pdf_vids)
+    aligned_src = idx.reindex(src_uniq).to_numpy()
+    if np.isnan(aligned_src).any():
+        raise RuntimeError(f"local_gather: srcs missing from partition {pid}")
+    per_dst = np.bincount(dst_codes, weights=p * aligned_src[src_codes], minlength=len(dst_uniq))
+    pos = pd.Series(np.arange(len(pdf_vids)), index=pdf_vids).reindex(dst_uniq).to_numpy()
+    if np.isnan(pos).any():
+        raise RuntimeError(f"local_gather: dsts missing from partition {pid}")
+    out = np.zeros(len(pdf_vids))
+    np.add.at(out, pos.astype(np.int64), per_dst)
+    return out
 
 
 def scatter_gather(

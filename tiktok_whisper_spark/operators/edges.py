@@ -31,6 +31,7 @@ __all__ = [
     "turn_vertex_id",
     "derive_vertices",
     "derive_edges",
+    "conv_home",
     "turn_adjacency_edges",
     "turn_tool_edges",
     "degrees",
@@ -114,40 +115,64 @@ def turn_vertex_id(conv_id: Column | str, turn_idx: Column | str) -> Column:
     return F.xxhash64(F.concat_ws(":", F.lit("turn"), conv, turn.cast("string")))
 
 
-def turn_adjacency_edges(transcripts: DataFrame) -> DataFrame:
+def conv_home(conv_id: Column | str) -> Column:
+    """Locality key of a conversation — the `home` of all its turn vertices.
+
+    Vertices sharing a home hash-partition together, which makes every
+    turn-adjacency edge partition-LOCAL (src and dst are turns of the same
+    conversation) — the property `scatter_mode="local"` exploits to keep
+    ~96% of gather traffic out of the shuffle entirely.
+    """
+    conv = F.col(conv_id) if isinstance(conv_id, str) else conv_id
+    return F.xxhash64(F.concat(F.lit("convhome:"), conv))
+
+
+def turn_adjacency_edges(transcripts: DataFrame, include_home: bool = False) -> DataFrame:
     """Turn-granularity adjacency: vertex per turn, edge ``turn_i → turn_{i+1}``.
 
     This is the 10^12-scale graph shape (vertices ≈ turns): one window lag,
     one projection — no shuffle beyond the window's partitioning by conv.
+    ``include_home=True`` adds the ``src_home``/``dst_home`` locality keys
+    (both = the conversation's home — adjacency edges are always local).
     """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cols = [
+        turn_vertex_id("conv_id", "prev_idx").alias("src"),
+        turn_vertex_id("conv_id", "turn_idx").alias("dst"),
+        F.lit(1.0).alias("weight"),
+        F.lit("turn_adjacency").alias("etype"),
+    ]
+    if include_home:
+        cols += [conv_home("conv_id").alias("src_home"), conv_home("conv_id").alias("dst_home")]
     return (
         transcripts.select("conv_id", "turn_idx")
         .withColumn("prev_idx", F.lag("turn_idx").over(w))
         .where(F.col("prev_idx").isNotNull())
-        .select(
-            turn_vertex_id("conv_id", "prev_idx").alias("src"),
-            turn_vertex_id("conv_id", "turn_idx").alias("dst"),
-            F.lit(1.0).alias("weight"),
-            F.lit("turn_adjacency").alias("etype"),
-        )
+        .select(*cols)
     )
 
 
-def turn_tool_edges(transcripts: DataFrame) -> DataFrame:
+def turn_tool_edges(transcripts: DataFrame, include_home: bool = False) -> DataFrame:
     """Turn → tool edges at turn granularity.
 
     Tools are Zipf-skewed, so a handful of tool vertices collect a massive
     in-degree (the hub/skew case the kernels' salting + partial aggregation
-    is designed for)."""
+    is designed for). With ``include_home=True`` a tool's home is itself —
+    tool edges are the (pre-reducible) remote minority."""
+    cols = [
+        turn_vertex_id("conv_id", "turn_idx").alias("src"),
+        vertex_id("tool", "tool").alias("dst"),
+        F.lit(1.0).alias("weight"),
+        F.lit("turn_tool").alias("etype"),
+    ]
+    if include_home:
+        cols += [
+            conv_home("conv_id").alias("src_home"),
+            vertex_id("tool", "tool").alias("dst_home"),
+        ]
     return (
         transcripts.where(F.col("tool").isNotNull())
-        .select(
-            turn_vertex_id("conv_id", "turn_idx").alias("src"),
-            vertex_id("tool", "tool").alias("dst"),
-            F.lit(1.0).alias("weight"),
-            F.lit("turn_tool").alias("etype"),
-        )
+        .select(*cols)
     )
 
 

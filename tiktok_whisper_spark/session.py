@@ -91,9 +91,19 @@ def get_spark(
 
     # Iterative jobs allocate heavily and churn cached state; G1 with a
     # bounded pause target avoids multi-second stop-the-world stalls that
-    # otherwise show up as superstep-time spikes. (Measured: a 40g default
-    # heap produced periodic 20-80s supersteps; 16g + G1/200ms is flat.)
-    gc_opts = "-XX:+UseG1GC -XX:MaxGCPauseMillis=200"
+    # otherwise show up as superstep-time spikes. -Xms=-Xmx + AlwaysPreTouch
+    # faults the whole heap in at startup (excluded from steady-state
+    # timings) instead of paying kernel page-zeroing per superstep — profiled
+    # 50-96% sys-CPU phases on this box came from fresh-page faults as the
+    # heap grew and G1 uncommitted/recommitted regions.
+    mem = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    gc_opts = f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseG1GC -XX:MaxGCPauseMillis=200"
+    # Python workers churn large NumPy buffers every superstep; glibc serves
+    # >128 KiB allocations via mmap and returns them on free, so each
+    # superstep re-faults (kernel-zeroes) gigabytes across workers. Raising
+    # the mmap threshold keeps those buffers on the reused brk heap.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
     # Shuffle/spill directory: prefer tmpfs when present — the sandbox's
     # virtio disk serializes concurrent writers badly (32-thread parquet
     # writes measured 10x slower than tmpfs). On a real cluster this is
@@ -117,7 +127,7 @@ def get_spark(
         # good balance between per-batch overhead and executor memory.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", mem)
         .config("spark.driver.extraJavaOptions", gc_opts)
         # Parquet writes: stable output, no _SUCCESS noise in checkpoints.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
