@@ -51,9 +51,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twins. Keys missing here (graph_lpa_communities,
-    vector_kmeans_sizes, vector_ann_ivf, dedup_simhash) are iterative /
-    approximate / hash-seeded ops that aren't ANSI-SQL-expressible; the
-    driver records rows-only checks for them and pytest verifies them against
+    """DuckDB-runnable ANSI SQL twins. Keys missing here
+    (``graph_lpa_communities``, ``vector_kmeans_sizes``) are iterative
+    run-to-convergence ops that aren't ANSI-SQL-expressible; each has a green
+    SQL-expressible companion (``graph_lpa_1iter``/``graph_lpa_2iter``,
+    ``vector_centroid_assign``) and pytest verifies the full runs against
     NumPy/pure-Python oracles instead."""
     return dict(Q.ORACLE_SQL)

@@ -21,6 +21,7 @@ __all__ = [
     "conditional_counts",
     "non_empty_text",
     "like_search",
+    "exclude_soft_deleted",
     "date_range",
     "paginate",
     "top_k_per_group",
@@ -75,6 +76,15 @@ def non_empty_text(df: DataFrame, col: str) -> DataFrame:
 def like_search(df: DataFrame, col: str, needle: str) -> DataFrame:
     """F3: LIKE substring search (reference ``scripts/sqlite/sql/query.sql:19``)."""
     return df.where(F.col(col).contains(needle))
+
+
+def exclude_soft_deleted(df: DataFrame, deleted_col: str = "deleted_at") -> DataFrame:
+    """F6: soft-delete filter — ``WHERE deleted_at IS NULL`` (reference
+    ``internal/app/repository/sqlite/transcription_v2.go:167,204,235,312``).
+
+    Every read path of the reference's v2 repository appends this predicate;
+    here it's a plain null filter that Catalyst pushes to the scan."""
+    return df.where(F.col(deleted_col).isNull())
 
 
 def date_range(df: DataFrame, col: str, start: str, end: str) -> DataFrame:

@@ -33,6 +33,7 @@ __all__ = [
     "pairwise_similarity",
     "kmeans",
     "elbow_k",
+    "assign_to_centroids",
     "cluster_info",
     "intra_cluster_edges",
     "pca_project",
@@ -238,6 +239,7 @@ def elbow_k(
     vec_col: str,
     k_max: int | None = None,
     seed: int = 42,
+    seeds_fn=None,
 ) -> tuple[int, list[tuple[int, float]]]:
     """Elbow method for choosing k (reference ``web/static/js/clustering.js:
     331-361``): inertia of the k-means++ seeds for k = 2..k_max, optimal k =
@@ -248,6 +250,12 @@ def elbow_k(
     Lloyd-stats kernel), matching the reference's seeding-only inertia — it
     never runs Lloyd to convergence per candidate k.
     Returns ``(optimal_k, [(k, inertia), ...])``.
+
+    ``seeds_fn(k) -> (k, dim) ndarray`` overrides the k-means++ seeding with
+    fixed centroids per candidate k — the inertia curve then becomes
+    ANSI-SQL-expressible (min squared distance to literal centroids), so the
+    driver oracle can replay it; the default D²-sampled seeding stays the
+    production path (pytest-verified).
     """
     data = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).persist()
     n = data.count()
@@ -255,7 +263,7 @@ def elbow_k(
         k_max = min(15, n // 3)
     inertias: list[tuple[int, float]] = []
     for k in range(2, k_max + 1):
-        c = _kmeanspp_seeds(data, k, seed)
+        c = seeds_fn(k) if seeds_fn is not None else _kmeanspp_seeds(data, k, seed)
         rows = (
             data.select("vec")
             .mapInPandas(
@@ -278,6 +286,21 @@ def elbow_k(
     return min(optimal, 10), inertias
 
 
+def assign_to_centroids(df: DataFrame, id_col: str, vec_col: str, centroids) -> DataFrame:
+    """Nearest-centroid assignment under FIXED centroids: ``(id, cluster)``.
+
+    The K2 assignment kernel (Arrow-batched argmin, ties to the smaller
+    centroid index) exposed standalone — fixed centroids make the result
+    ANSI-SQL-expressible, so driver oracles can verify the exact kernel the
+    iterative k-means runs.
+    """
+    c = np.asarray(centroids, dtype=np.float64)
+    data = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return data.mapInPandas(
+        _assign_udf(c), schema="id long, cluster int, sq_dist double"
+    ).select("id", "cluster")
+
+
 def cluster_info(
     df: DataFrame,
     id_col: str,
@@ -285,6 +308,7 @@ def cluster_info(
     k: int,
     max_exemplars: int = 100,
     seed: int = 42,
+    centroids=None,
 ) -> DataFrame:
     """Full cluster-info surface (reference ``clustering.js:579-623``):
     one row per non-empty cluster, **sorted by size desc and re-numbered**
@@ -292,18 +316,31 @@ def cluster_info(
     exemplar_ids: array<long>)``; exemplars are the ``max_exemplars``
     smallest member ids (deterministic stand-in for the reference's
     insertion-ordered point list).
+
+    ``centroids`` (optional ``(k, dim)`` array) skips the k-means and builds
+    the surface from fixed-centroid assignment — the driver-verifiable form.
     """
-    km = kmeans(df, id_col, vec_col, k=k, seed=seed)
-    sizes = (
-        km.assignments.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("size"),
-            F.slice(F.sort_array(F.collect_list("id")), 1, max_exemplars).alias("exemplar_ids"),
-        )
+    if centroids is None:
+        km = kmeans(df, id_col, vec_col, k=k, seed=seed)
+        assignments, cents = km.assignments, km.centroids
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
+        assignments = assign_to_centroids(df, id_col, vec_col, cents)
+    # bound the per-cluster aggregation buffer BEFORE collecting: rank members
+    # by id per cluster, null out ranks beyond max_exemplars (collect_list
+    # skips nulls) — a billion-member cluster buffers max_exemplars ids, not
+    # its full membership.
+    wm = Window.partitionBy("cluster").orderBy("id")
+    ranked = assignments.withColumn("rn", F.row_number().over(wm))
+    sizes = ranked.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("rn") <= max_exemplars, F.col("id")))
+        ).alias("exemplar_ids"),
     )
     spark = df.sparkSession
     centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(km.centroids)],
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cluster int, center array<double>",
     )
     w = Window.orderBy(F.col("size").desc(), F.col("cluster"))  # ≤ k rows — bounded
@@ -437,17 +474,27 @@ def ann_ivf_search(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids=None,
 ) -> DataFrame:
     """IVF approximate nearest neighbors: cluster once, probe nearest cells.
 
     The engine's stand-in for pgvector's HNSW (``add_dual_embeddings.sql:
     52-56``): k-means coarse quantizer → search only the ``n_probe`` cells
     closest to the query. Exact :func:`knn_search` is the recall oracle.
+
+    ``centroids`` (optional) fixes the coarse quantizer — cell assignment +
+    probe selection + exact KNN within the probed cells is then plain SQL,
+    the driver-verifiable form of the same index structure.
     """
-    km = kmeans(df, id_col, vec_col, k=n_centroids, max_iter=10, seed=seed)
+    if centroids is None:
+        km = kmeans(df, id_col, vec_col, k=n_centroids, max_iter=10, seed=seed)
+        cents, assignments = km.centroids, km.assignments
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
+        assignments = assign_to_centroids(df, id_col, vec_col, cents)
     q = np.asarray(query, dtype=np.float64)
-    d2 = ((km.centroids - q[None, :]) ** 2).sum(axis=1)
+    d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
     probe = np.argsort(d2)[:n_probe].tolist()
-    cand_ids = km.assignments.where(F.col("cluster").isin(probe)).select("id")
+    cand_ids = assignments.where(F.col("cluster").isin(probe)).select("id")
     cand = df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
     return knn_search(cand, id_col, vec_col, query, k=k)

@@ -261,6 +261,23 @@ def filter_date_range(spark, sf_dir):
 
 
 @_register(
+    "filter_soft_delete",
+    "SELECT event_id FROM (SELECT event_id, "
+    "CASE WHEN event_id % 97 = 0 THEN ts END AS deleted_at FROM events) "
+    "WHERE deleted_at IS NULL",
+)
+def filter_soft_delete(spark, sf_dir):
+    """F6: soft-delete filter (reference transcription_v2.go:167,204,235,312 —
+    every v2 read appends ``WHERE deleted_at IS NULL``). The events table has
+    no tombstone column, so one is synthesized deterministically (every 97th
+    event is 'deleted'); the operator itself is the plain null filter."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "deleted_at", F.when(F.col("event_id") % 97 == 0, F.col("ts"))
+    )
+    return relational.exclude_soft_deleted(ev, "deleted_at").select("event_id")
+
+
+@_register(
     "filter_json_extract",
     "SELECT event_id, coalesce(json_extract_string(props, '$.k'), '0') AS k_val "
     "FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 90",
@@ -960,14 +977,35 @@ def vector_kmeans_sizes(spark, sf_dir):
     return km.assignments.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
 
 
-@_register("vector_ann_ivf")  # approximate by construction; recall tested in pytest
+@_register(
+    "vector_ann_ivf",
+    "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0), "
+    "c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < 16), "
+    "probe AS (SELECT cid FROM c, q ORDER BY list_distance(cvec, qv), cid LIMIT 4), "
+    "d AS (SELECT e.vec_id, c.cid, list_distance(e.embedding::DOUBLE[], c.cvec) AS dist "
+    "FROM embeddings e CROSS JOIN c), "
+    "r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d), "
+    "asg AS (SELECT vec_id FROM r WHERE rn = 1 AND cid IN (SELECT cid FROM probe)), "
+    "scored AS (SELECT e.vec_id AS id, list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim "
+    "FROM embeddings e JOIN asg USING (vec_id), q) "
+    "SELECT id, round(sim + 1e-9, 6) AS similarity FROM scored ORDER BY sim DESC, id LIMIT 10",
+)
 def vector_ann_ivf(spark, sf_dir):
-    """IVF ANN top-10 for the vec_id=0 query (scale path for vector_knn_cosine)."""
+    """IVF ANN top-10 for the vec_id=0 query (scale path for vector_knn_cosine)
+    under a FIXED coarse quantizer (vec_id<16 rows as cells) so the whole
+    index structure — cell assignment, probe selection, in-cell exact KNN —
+    replays as plain SQL. The k-means-trained quantizer path is identical
+    code (``ann_ivf_search`` without ``centroids``), recall-tested in pytest."""
     from .operators.similarity import ann_ivf_search
 
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    out = ann_ivf_search(emb, "vec_id", "embedding", [float(x) for x in q], k=10)
+    cent_rows = sorted(
+        emb.where(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    c = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    out = ann_ivf_search(emb, "vec_id", "embedding", q, k=10, n_probe=4, centroids=c)
     return out.select("id", _r6("similarity").alias("similarity"))
 
 
@@ -1077,6 +1115,46 @@ def graph_lpa_1iter(spark, sf_dir):
 
 
 @_register(
+    "graph_lpa_2iter",
+    _LPA_EDGES_SQL + ", "
+    "s AS (SELECT src, dst, sum(w) AS w FROM "
+    "(SELECT src, dst, w FROM e UNION ALL SELECT dst AS src, src AS dst, w FROM e) "
+    "GROUP BY 1, 2), "
+    "l1 AS (SELECT vid, label FROM (SELECT dst AS vid, src AS label, "
+    "row_number() OVER (PARTITION BY dst ORDER BY w DESC, src ASC) AS rn FROM s) WHERE rn = 1), "
+    "v2 AS (SELECT s.dst AS vid, l1.label AS label, sum(s.w) AS votes FROM s "
+    "JOIN l1 ON l1.vid = s.src GROUP BY 1, 2), "
+    "l2 AS (SELECT vid, label FROM (SELECT vid, label, row_number() OVER "
+    "(PARTITION BY vid ORDER BY votes DESC, label ASC) AS rn FROM v2) WHERE rn = 1) "
+    "SELECT vid, label FROM l2",
+)
+def graph_lpa_2iter(spark, sf_dir):
+    """TWO synchronous LPA supersteps through the full engine path — the
+    argmax-vote recursion unrolled twice so the driver oracle replays it as
+    chained window CTEs (iteration 1: initial labels are the vids themselves;
+    iteration 2: votes over iteration-1 labels). Together with
+    ``graph_lpa_1iter`` this pins the recursion step AND its composition;
+    the full run-to-convergence (``graph_lpa_communities``) stays
+    pytest-verified against the Python oracle."""
+    from .graph import label_propagation
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 20 == 0)
+    edges = (
+        li.groupBy(
+            (F.col("l_suppkey") * 10 + 1).alias("src"),
+            (F.col("l_partkey") * 10 + 2).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    store = CheckpointStore(tempfile.mkdtemp(prefix="twspark_q_lpa2_"))
+    run = label_propagation(
+        edges, max_iter=2, store=store, resume=False, checkpoint_every=10
+    )
+    shutil.rmtree(store.root, ignore_errors=True)
+    return run.state.select("vid", "label")
+
+
+@_register(
     "graph_cluster_edges",
     "WITH m AS (SELECT label AS cluster, vec_id AS id, "
     "row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1 AS i, "
@@ -1096,29 +1174,80 @@ def graph_cluster_edges(spark, sf_dir):
     return intra_cluster_edges(emb, max_connections=5)
 
 
-@_register("vector_elbow_k")  # seeded k-means++ inertia curve; pytest-verified
+@_register(
+    "vector_elbow_k",
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "ks AS (SELECT unnest(range(2, 9)) AS k), "
+    "pd AS (SELECT ks.k, p.vec_id, min(list_distance(p.v, c.v) ** 2) AS md "
+    "FROM ks CROSS JOIN e p JOIN e c ON c.vec_id < ks.k GROUP BY ks.k, p.vec_id), "
+    "curve AS (SELECT k, sum(md) AS inertia FROM pd GROUP BY k), "
+    "rates AS (SELECT k, (lag(inertia) OVER (ORDER BY k) - inertia) "
+    "- (inertia - lead(inertia) OVER (ORDER BY k)) AS rate FROM curve), "
+    "best AS (SELECT k FROM rates WHERE rate IS NOT NULL AND rate > 0 "
+    "ORDER BY rate DESC, k ASC LIMIT 1), "
+    "opt AS (SELECT coalesce((SELECT k FROM best), 3) AS ok) "
+    "SELECT CAST(k AS BIGINT) AS k, round(inertia + 1e-9, 6) AS inertia, "
+    "k = (SELECT ok FROM opt) AS is_optimal FROM curve",
+)
 def vector_elbow_k(spark, sf_dir):
     """K3: elbow method (reference web/static/js/clustering.js:331-361):
-    (k, inertia) curve for k=2..8 plus the chosen optimal k."""
+    (k, inertia) curve for k=2..8 plus the chosen optimal k (largest
+    rate-of-change drop, default 3). Seeds are FIXED (first-k embeddings) so
+    the inertia curve AND the arg-selection replay as plain SQL; the
+    production k-means++ seeding path is the same ``elbow_k`` code without
+    ``seeds_fn``, pytest-verified."""
+    import numpy as np
+
     from .operators.similarity import elbow_k
 
     emb = load(spark, sf_dir, "embeddings")
-    optimal, curve = elbow_k(emb, "vec_id", "embedding", k_max=8)
+    rows = sorted(
+        emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    vecs = np.asarray([[float(x) for x in r["embedding"]] for r in rows])
+    optimal, curve = elbow_k(emb, "vec_id", "embedding", k_max=8, seeds_fn=lambda k: vecs[:k])
     return spark.createDataFrame(
-        [(k, float(i), k == optimal) for k, i in curve],
-        "k int, inertia double, is_optimal boolean",
+        [(k, round(float(i) + 1e-9, 6), k == optimal) for k, i in curve],
+        "k long, inertia double, is_optimal boolean",
     )
 
 
-@_register("vector_cluster_info")  # iterative k-means; pytest-verified
+@_register(
+    "vector_cluster_info",
+    "WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < 8), "
+    "d AS (SELECT e.vec_id, c.cid, list_distance(e.embedding::DOUBLE[], c.cvec) AS dist "
+    "FROM embeddings e CROSS JOIN c), "
+    "r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d), "
+    "asg AS (SELECT vec_id, cid AS cluster FROM r WHERE rn = 1), "
+    "m AS (SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn FROM asg), "
+    "agg AS (SELECT cluster, count(*) AS size, "
+    "string_agg(CASE WHEN rn <= 10 THEN CAST(vec_id AS VARCHAR) END, ',' ORDER BY vec_id) AS exemplar_ids "
+    "FROM m GROUP BY cluster) "
+    "SELECT CAST(row_number() OVER (ORDER BY size DESC, cluster) - 1 AS BIGINT) AS cluster_id, "
+    "size, exemplar_ids FROM agg",
+)
 def vector_cluster_info(spark, sf_dir):
     """K4: full cluster-info surface (reference clustering.js:579-623):
-    per-cluster size + center + exemplar ids, sorted by size, re-numbered."""
+    per-cluster size + exemplar ids, sorted by size desc and re-numbered like
+    the reference. Fixed centroids (vec_id<8 rows) make the assignment
+    SQL-replayable; exemplars are emitted comma-joined (scalar payload for
+    the driver canon). The k-means-trained path is the same ``cluster_info``
+    code without ``centroids``, pytest-verified."""
     from .operators.similarity import cluster_info
 
     emb = load(spark, sf_dir, "embeddings")
-    out = cluster_info(emb, "vec_id", "embedding", k=8, max_exemplars=10)
-    return out.select("cluster_id", "size", "exemplar_ids")
+    cent_rows = sorted(
+        emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    c = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    out = cluster_info(emb, "vec_id", "embedding", k=8, max_exemplars=10, centroids=c)
+    return out.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "size",
+        F.concat_ws(",", F.col("exemplar_ids")).alias("exemplar_ids"),
+    )
 
 
 @_register(
