@@ -41,6 +41,21 @@ __all__ = [
 ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the scan under-splits.
+
+    A small corpus arrives as one parquet split (maxPartitionBytes), which
+    would run the CPU-heavy per-doc expression chains (tokenize → grams →
+    per-shingle hashes, interpreted HOFs) on a single core. At real corpus
+    scale the scan already has ≥ parallelism splits and this is a no-op —
+    the check is on the plan, no job runs.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups: ``(fp, n_copies, keep_id)``, keep = min id."""
     return (
@@ -50,26 +65,52 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _gram_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Per-doc distinct shingle ARRAY: ``(doc_id, grams: array<string>)``.
+
+    The tokens array is materialized as a real column before the gram
+    transform — inlining the ``split`` expression into the HOF lambda makes
+    Catalyst re-evaluate the split per sequence element (O(tokens²) per doc;
+    measured 4× slower at 54 tokens/doc). Dedup happens per-row via
+    ``array_distinct`` — NO shuffle; docs with fewer than ``n`` tokens
+    produce no row (they cannot participate in n-gram similarity, matching
+    the SQL oracle's ``WHERE len(t) >= n``).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tk = _spread(df).select(F.col(id_col).alias("doc_id"), toks.alias("toks")).where(
+        F.size("toks") >= n
+    )
+    # greatest(…, 0) keeps the expression total: rows with < n tokens are
+    # dropped by the filter above, but expression evaluation isn't
+    # guaranteed to happen strictly after it (local-relation folding), and
+    # an unclamped sequence would go descending into slice(start=0) errors.
+    grams = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+            ),
+            lambda s: F.length(s) > 0,
+        )
+    )
+    # No emptiness filter on grams: tokens from a \s+ split of trimmed text
+    # are never empty, so >=n tokens always yield >=1 gram — and a
+    # ``where(size(grams) > 0)`` would be rewritten by predicate pushdown
+    # into a condition that inlines the whole gram pipeline WITH the token
+    # split re-evaluated per element (O(tokens²) per row; measured 20×
+    # slower than the map itself).
+    return tk.select("doc_id", grams.alias("grams"))
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word-n-gram shingles per document: ``(doc_id, shingle)``.
 
     Built with sequence+transform+explode — no Python. Normalization:
-    lowercase, whitespace-split.
+    lowercase, whitespace-split. Dedup is per-row (``array_distinct`` before
+    the explode), so no global distinct shuffle.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)) - F.lit(0)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    # docs with fewer than n tokens produce no shingles (they cannot
-    # participate in n-gram similarity) — this matches the SQL oracle's
-    # ``WHERE len(t) >= n`` exactly; a whole-text fallback would silently
-    # diverge from it on short docs.
-    return (
-        df.where(F.size(toks) >= n)
-        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-        .where(F.length("shingle") > 0)
-        .distinct()
+    return _gram_sets(df, id_col, text_col, n).select(
+        "doc_id", F.explode("grams").alias("shingle")
     )
 
 
@@ -88,7 +129,12 @@ def ngram_jaccard_pairs(
     frequent than the cap before the join, the standard suppression used at
     corpus scale (slightly lowers recall, bounded by the cap choice).
     """
-    sh = shingles(df, id_col, text_col, n)
+    # persist: the shingle relation feeds the size aggregate AND both sides
+    # of the pair join (plus the doc-frequency filter) — the cached fragment
+    # substitutes at ANALYSIS time, before join-key null-filter pushdown can
+    # inline the gram pipeline into per-branch predicates (the same
+    # O(tokens²)-per-row rewrite minhash guards against).
+    sh = shingles(df, id_col, text_col, n).persist()
     if max_doc_freq:
         rare = (
             sh.groupBy("shingle")
@@ -126,18 +172,32 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: ``(doc_id, sig: array<string>)``.
 
-    Component k = ``min(md5(shingle || ':' || k))`` — one groupBy computes
-    all components (no per-hash passes); md5-hex min is engine-portable.
+    Component k = ``min(md5(shingle || ':' || k))``; md5-hex min is
+    engine-portable. Fully FUSED per-row: the doc's distinct shingle set is
+    an array column and each component is an ``array_min(transform(...))``
+    over it — the whole signature computation is one narrow map with ZERO
+    shuffles (the explode + 8-aggregate groupBy formulation cost two
+    edge-sized exchanges and was 22× slower at bench scale).
     """
-    sh = shingles(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{k}")).cast("binary"))).alias(f"h{k}")
-        for k in range(num_hashes)
-    ]
-    per_doc = sh.groupBy("doc_id").agg(*aggs)
-    return per_doc.select(
-        "doc_id", F.array(*[F.col(f"h{k}") for k in range(num_hashes)]).alias("sig")
+    g = _gram_sets(df, id_col, text_col, n)
+
+    def hashes(s: Column) -> Column:
+        return F.array(
+            *[F.md5(F.concat(s, F.lit(f":{k}")).cast("binary")) for k in range(num_hashes)]
+        )
+
+    # ONE fold over the grams array computes all components: per shingle,
+    # the k hashes, merged into the running component-wise min. A separate
+    # array_min(transform(...)) per component would re-evaluate the whole
+    # gram pipeline num_hashes times (ProjectionCollapse inlines the grams
+    # expression into every consumer, and HOFs evaluate interpreted — no
+    # codegen subexpression elimination; measured 8× slower). "g" > any hex
+    # char, so it is the identity for min over md5-hex strings.
+    init = F.array_repeat(F.lit("g"), num_hashes)
+    sig = F.aggregate(
+        "grams", init, lambda acc, s: F.zip_with(acc, hashes(s), lambda a, h: F.least(a, h))
     )
+    return g.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -198,7 +258,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     One explode + one groupBy with ``bits`` conditional sums — all Catalyst,
     no Python.
     """
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     ).where(F.length("tok") > 0)

@@ -582,12 +582,16 @@ def dedup_minhash_signatures_q(spark, sf_dir):
     "SELECT a, b, round((eq / 8.0) + 1e-9, 6) AS est_jaccard FROM pairs",
 )
 def dedup_minhash_lsh_q(spark, sf_dir):
-    # localCheckpoint the (small, doc-sized) signature relation: it feeds the
-    # band join AND both sides of the signature re-attach — without it the
-    # shingle explode + groupBy lineage would run three times.
+    # EAGER localCheckpoint of the (small, doc-sized) signature relation: it
+    # feeds the band join AND both sides of the signature re-attach, and —
+    # more importantly — join-key null-filter pushdown would otherwise
+    # inline the whole gram+md5 pipeline into per-branch predicates (with
+    # the token split re-evaluated per array element — measured ~8× the
+    # signature job itself). Materializing from the clean linear plan first
+    # makes the LSH stages run over truncated lineage.
     sigs = dedup.minhash_signatures(
         load(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=8
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     out = dedup.minhash_lsh_candidates(sigs, bands=4, rows_per_band=2)
     return out.select("a", "b", _r6("est_jaccard").alias("est_jaccard"))
 
