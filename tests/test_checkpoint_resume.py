@@ -190,3 +190,41 @@ def test_runner_generic_loop(spark, tmp_path):
         partition_aggs=[F.max("x").alias("p_max_x")], combine_fn=combine_fn, max_iter=20,
     )
     assert out.converged and out.supersteps == 7  # 1/2^7 < 0.01
+
+
+def test_superstep_retry_recovers_transient_failure(spark, tmp_path, monkeypatch):
+    """T2 (reference batch.go:130-135 retry policy): a job-level transient on
+    a superstep's materialization is retried and the run completes with the
+    SAME result and a normal commit history — the retry path actually
+    executes (failure injected on the first in-run localCheckpoint)."""
+    # patch the CONCRETE class (pyspark.sql.DataFrame is the abstract parent
+    # in Spark 4; instances dispatch to the classic subclass's method)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from tiktok_whisper_spark.graph import runner as runner_mod
+
+    store = CheckpointStore(str(tmp_path / "retry"))
+    clean = pagerank(_edges_df(spark), store=store, run_id="clean", tol=1e-3)
+    assert clean.converged
+
+    monkeypatch.setattr(runner_mod.time, "sleep", lambda s: None)  # skip backoff
+    orig = DataFrame.localCheckpoint
+    state = {"armed": True, "failures": 0}
+
+    def flaky(self, eager=True):
+        if state["armed"]:
+            state["armed"] = False
+            state["failures"] += 1
+            raise RuntimeError("injected transient executor loss")
+        return orig(self, eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", flaky)
+    run = pagerank(_edges_df(spark), store=store, run_id="flaky", tol=1e-3)
+    monkeypatch.setattr(DataFrame, "localCheckpoint", orig)
+
+    assert state["failures"] == 1  # the injected failure really happened
+    assert run.converged
+    assert store.completed_supersteps("flaky") == list(range(run.supersteps + 1))
+    got = {r["vid"]: r["rank"] for r in run.state.collect()}
+    want = {r["vid"]: r["rank"] for r in clean.state.collect()}
+    assert got == want

@@ -162,6 +162,69 @@ def test_pagerank_local_mode_matches_csr_and_oracle(spark, tmp_path):
     )
 
 
+def test_pagerank_local_mode_via_file_uri(spark, tmp_path, monkeypatch):
+    """A ``file://`` URI store root drives the ENTIRE local-mode durable
+    surface through pyarrow's FileSystem API — rank segments, static files,
+    shard markers, manifests, and the node-local compiled-shard cache — the
+    same code path an object-store (s3://, gs://) root takes on a cluster.
+    Ranks must match a plain local-path run exactly."""
+    from tiktok_whisper_spark import datagen
+    from tiktok_whisper_spark.operators.edges import turn_adjacency_edges, turn_tool_edges
+    from tiktok_whisper_spark.sources.catalog import CheckpointStore
+
+    monkeypatch.setenv("TWSPARK_SHARD_CACHE", str(tmp_path / "nodelocal"))
+    t = datagen.transcripts(spark, n_convs=60, seed=11)
+    e = (
+        turn_adjacency_edges(t, include_home=True)
+        .unionByName(turn_tool_edges(t, include_home=True))
+        .localCheckpoint()
+    )
+    r_uri = pagerank(
+        e, scatter_mode="local",
+        store=CheckpointStore(f"file://{tmp_path}/uri_store"), resume=False,
+    )
+    r_path = pagerank(
+        e, scatter_mode="local",
+        store=CheckpointStore(str(tmp_path / "path_store")), resume=False,
+    )
+    assert r_uri.converged and r_path.converged
+    gu = {r["vid"]: r["rank"] for r in r_uri.state.collect()}
+    gp = {r["vid"]: r["rank"] for r in r_path.state.collect()}
+    assert gu.keys() == gp.keys() and len(gu) > 0
+    for v in gu:
+        assert gu[v] == gp[v]
+    # the durable artifacts really landed under the URI root
+    root = tmp_path / "uri_store"
+    assert any(p.name.startswith("superstep=") for p in root.glob(f"{r_uri.run_id}/*"))
+    assert list(root.glob(f"{r_uri.run_id}/superstep=*/state/rank-*.f64"))
+
+
+def test_pagerank_local_mode_resume_under_different_partitions_raises(spark, tmp_path):
+    """Rank segments are keyed by partition id: resuming a committed run
+    under a different spark.sql.shuffle.partitions must refuse loudly, not
+    silently return an empty 'converged' state."""
+    from tiktok_whisper_spark import datagen
+    from tiktok_whisper_spark.operators.edges import turn_adjacency_edges, turn_tool_edges
+    from tiktok_whisper_spark.sources.catalog import CheckpointStore
+
+    t = datagen.transcripts(spark, n_convs=40, seed=13)
+    e = (
+        turn_adjacency_edges(t, include_home=True)
+        .unionByName(turn_tool_edges(t, include_home=True))
+        .localCheckpoint()
+    )
+    store = CheckpointStore(str(tmp_path / "pstore"))
+    part = pagerank(e, scatter_mode="local", store=store, run_id="pr", max_iter=2, resume=False)
+    assert not part.converged
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(old) * 2))
+    try:
+        with pytest.raises(RuntimeError, match="shuffle partitions"):
+            pagerank(e, scatter_mode="local", store=store, run_id="pr", resume=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_pagerank_local_mode_kill_resume(spark, tmp_path):
     from tiktok_whisper_spark import datagen
     from tiktok_whisper_spark.operators.edges import turn_adjacency_edges, turn_tool_edges

@@ -52,6 +52,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources import fsio
 from ..sources.catalog import CheckpointStore
 from .runner import GraphRun, run_supersteps
 from .scatter import (
@@ -125,9 +126,9 @@ def pagerank(
         # Partition count in the dir name: a resume under a different
         # spark.sql.shuffle.partitions must re-shard, not silently misalign.
         shard_dir = os.path.join(store.root, run_id, f"_edge_shards_p{num_partitions}")
-        if not os.path.exists(os.path.join(shard_dir, "_DONE")):
+        if not fsio.exists(os.path.join(shard_dir, "_DONE")):
             write_edge_shards(enorm, shard_dir, num_partitions)
-            open(os.path.join(shard_dir, "_DONE"), "w").close()
+            fsio.touch(os.path.join(shard_dir, "_DONE"))
         num_edges = enorm.count()
     else:
         pe = prepare_edges(
@@ -272,10 +273,17 @@ def _write_rank_part(state_dir: str, pid: int, ranks: np.ndarray, recycle_dir: s
     dominant fixed cost into noise. A torn write is harmless: the manifest
     (written after the whole job) is the commit point, and a retried task
     rewrites the full fixed-size segment.
+
+    Object-store roots (any ``://`` URI) take a plain single-PUT write via
+    pyarrow's FileSystem — atomic per object, no recycling (page reuse is a
+    local-FS concept; on s3/gs the bytes dominate and a PUT is the floor).
     """
-    os.makedirs(state_dir, exist_ok=True)
-    path = _rank_path(state_dir, pid)
     buf = np.ascontiguousarray(ranks, dtype=np.float64)
+    path = _rank_path(state_dir, pid)
+    if fsio.is_uri(state_dir):
+        fsio.write_bytes(path, memoryview(buf).cast("B").tobytes())
+        return
+    os.makedirs(state_dir, exist_ok=True)
     if not os.path.exists(path) and recycle_dir is not None:
         old = _rank_path(recycle_dir, pid)
         if os.path.exists(old) and os.path.getsize(old) == buf.nbytes:
@@ -290,6 +298,9 @@ def _write_rank_part(state_dir: str, pid: int, ranks: np.ndarray, recycle_dir: s
 
 def _read_rank_part(state_dir: str, pid: int) -> np.ndarray | None:
     path = _rank_path(state_dir, pid)
+    if fsio.is_uri(state_dir):
+        data = fsio.read_bytes(path)
+        return None if data is None else np.frombuffer(data, dtype=np.float64)
     if not os.path.exists(path):
         return None
     return np.fromfile(path, dtype=np.float64)
@@ -445,11 +456,10 @@ def _pagerank_local_files_inner(
     shard_dir = os.path.join(store.root, run_id, f"_edge_shards_p{P}")
     static_meta = os.path.join(_static_dir(store, run_id, P), "_META.json")
     vertices = None
-    if os.path.exists(os.path.join(shard_dir, "_DONE")) and os.path.exists(static_meta):
-        import json as _json
-
-        with open(static_meta) as fh:
-            meta = _json.load(fh)
+    meta = fsio.read_json(static_meta) if fsio.exists(os.path.join(shard_dir, "_DONE")) else None
+    # meta["sorted"] gates warm reuse: static vid files from before the
+    # sorted-layout change would break the searchsorted hub application.
+    if meta is not None and meta.get("sorted"):
         n, num_edges = int(meta["n"]), int(meta["num_edges"])
     else:
         e = edges.groupBy("src", "dst").agg(
@@ -461,9 +471,9 @@ def _pagerank_local_files_inner(
         enorm = e.join(out_w, "src").select(
             "src", "dst", (F.col("w") / F.col("out_w")).alias("p"), "src_home", "dst_home"
         )
-        if not os.path.exists(os.path.join(shard_dir, "_DONE")):
+        if not fsio.exists(os.path.join(shard_dir, "_DONE")):
             write_edge_shards_local(enorm, shard_dir, P)
-            open(os.path.join(shard_dir, "_DONE"), "w").close()
+            fsio.touch(os.path.join(shard_dir, "_DONE"))
         num_edges = enorm.count()
 
         vertices = (
@@ -511,7 +521,22 @@ def _pagerank_local_files_inner(
         return metrics_rows, remote
 
     def _combine(rows: list[dict], k: int) -> tuple[dict, list[dict], bool]:
-        delta_max = max((r["delta_max"] for r in rows), default=0.0)
+        # an empty metrics set is NEVER convergence — it means every task
+        # skipped (missing state/static files, e.g. a foreign run dir), and
+        # treating it as delta 0 would silently commit an empty "converged"
+        # run; partial coverage likewise means partition misalignment.
+        if not rows:
+            raise RuntimeError(
+                f"superstep {k}: no partition emitted metrics — state files "
+                "missing or partitioning mismatch in the run directory"
+            )
+        covered = sum(r["n_rows"] for r in rows)
+        if covered != n:
+            raise RuntimeError(
+                f"superstep {k}: tasks covered {covered} of {n} vertices — "
+                "state/shard partitioning mismatch"
+            )
+        delta_max = max(r["delta_max"] for r in rows)
         metrics = {
             "kernel": "pagerank",
             "delta_max": delta_max,
@@ -556,6 +581,18 @@ def _pagerank_local_files_inner(
         if latest is not None:
             man = store.manifest(run_id, latest)
             carry = man["carry"]
+            # rank segments and static vid files are keyed by partition id:
+            # resuming under a different spark.sql.shuffle.partitions would
+            # read misaligned (or missing) segments. The csr path re-shards
+            # on mismatch; files of a committed run are not re-derivable
+            # state, so local mode refuses instead.
+            man_p = int(carry.get("P", -1))
+            if man_p != P:
+                raise RuntimeError(
+                    f"cannot resume local-mode run {run_id!r}: committed under "
+                    f"{man_p} shuffle partitions, session has {P} — restart "
+                    "with the original partition count or a fresh run_id"
+                )
             history = store.metrics_history(run_id)
             resumed_from = latest
             if carry.get("_converged"):
@@ -585,15 +622,20 @@ def _pagerank_local_files_inner(
             pdf = pd.concat(pdfs, ignore_index=True)
             pid = int(pdf["pid"].iloc[0])
             vids = pdf["vid"].to_numpy()
-            ranks = pdf["rank"].to_numpy()
-            dang = pdf["dangling"].to_numpy(dtype=bool)
+            # static vids are written SORTED so every later superstep can
+            # apply hub (remote) contributions with one np.searchsorted
+            # instead of per-hub position scans
+            order = np.argsort(vids, kind="stable")
+            vids = vids[order]
+            ranks = pdf["rank"].to_numpy()[order]
+            dang = pdf["dangling"].to_numpy(dtype=bool)[order]
             _write_state_part(
                 static_dir,
                 pid,
                 pa.table(
                     {
                         "vid": pa.array(vids, pa.int64()),
-                        "home": pa.array(pdf["home"].to_numpy(), pa.int64()),
+                        "home": pa.array(pdf["home"].to_numpy()[order], pa.int64()),
                         "dangling": pa.array(dang, pa.bool_()),
                     }
                 ),
@@ -637,10 +679,9 @@ def _pagerank_local_files_inner(
                 .mapInPandas(write_init, schema=_METRICS_SCHEMA)
                 .collect()
             )
-            import json as _json
-
-            with open(static_meta, "w") as fh:
-                _json.dump({"n": n, "num_edges": num_edges, "P": P}, fh)
+            fsio.write_json_atomic(
+                static_meta, {"n": n, "num_edges": num_edges, "P": P, "sorted": True}
+            )
         else:
             rows = pids.mapInPandas(init_warm, schema=_METRICS_SCHEMA).collect()
         metrics_rows, remote = _split_rows(rows)
@@ -648,6 +689,7 @@ def _pagerank_local_files_inner(
         carry = {
             "dangling_sum": sum(r["dangling_sum"] for r in metrics_rows),
             "remote": {str(k_): v for k_, v in remote.items()},
+            "P": P,
         }
         metrics.update(superstep=0, wall_ms=round(1000 * (_time.monotonic() - t0), 1))
         store.finalize(run_id, 0, lineage, metrics, carry)
@@ -662,6 +704,13 @@ def _pagerank_local_files_inner(
         next_dir = _state_dir(store, run_id, k)
         dpv = carry["dangling_sum"] / n
         remote = {int(k_): float(v) for k_, v in carry.get("remote", {}).items()}
+        # hub contributions as sorted parallel arrays: applied per partition
+        # with ONE np.searchsorted against the (sorted) static vids — no
+        # per-hub Python loop, no vertex-sized hash reindex
+        rvids_g = np.fromiter(remote.keys(), dtype=np.int64, count=len(remote))
+        rvals_g = np.fromiter(remote.values(), dtype=np.float64, count=len(remote))
+        _ord = np.argsort(rvids_g, kind="stable")
+        rvids_g, rvals_g = rvids_g[_ord], rvals_g[_ord]
 
         # retention window 2: writing superstep k recycles k-2's segments —
         # k and k-1 stay durable, which is exactly what resume needs
@@ -696,14 +745,12 @@ def _pagerank_local_files_inner(
                     mk("local", t0)
                     t0 = _t.perf_counter()
                     new_rank = base + d * (local_c + dpv)
-                    if remote:
-                        # remote dsts (tool hubs) are FEW and live in their
-                        # own home partition — targeted position lookups beat
-                        # a vertex-sized hash reindex per partition
-                        rvids = np.fromiter(remote.keys(), dtype=np.int64, count=len(remote))
-                        for rv in rvids[np.isin(rvids, vids)]:
-                            pos = np.nonzero(vids == rv)[0]
-                            new_rank[pos] += d * remote[int(rv)]
+                    if len(rvids_g):
+                        pos = np.searchsorted(vids, rvids_g)
+                        pos_c = np.minimum(pos, len(vids) - 1)
+                        hit = vids[pos_c] == rvids_g
+                        if hit.any():
+                            new_rank[pos_c[hit]] += d * rvals_g[hit]
                     mk("remote_align", t0)
                     t0 = _t.perf_counter()
                     _write_rank_part(next_dir, pid, new_rank, recycle_dir)
@@ -729,6 +776,7 @@ def _pagerank_local_files_inner(
             "dangling_sum": sum(r["dangling_sum"] for r in metrics_rows),
             "remote": {str(k_): v for k_, v in next_remote.items()},
             "_converged": converged,
+            "P": P,
         }
         metrics.update(superstep=k, wall_ms=round(1000 * (_time.monotonic() - t0), 1))
         store.finalize(run_id, k, lineage, metrics, carry)

@@ -345,23 +345,47 @@ def _load_shard_split(shard_dir: str, pid: int):
     of a parquet read + two factorizations (~1 core-second; Spark assigns
     tasks to workers arbitrarily, so per-worker private caches re-paid that
     constantly). The small in-process cache only avoids re-opening files.
+
+    When ``shard_dir`` is an object-store URI the compiled files land in a
+    NODE-LOCAL cache directory (keyed by the URI hash) — each machine pulls
+    the parquet shard once via pyarrow's FileSystem, compiles into local
+    storage, and mmaps from there; exactly the node-local NVMe cache of
+    remote shards a real cluster wants.
     """
     key = (shard_dir, pid, "split")
     if key in _SHARD_CACHE:
         return _SHARD_CACHE[key]
     for stale in [k for k in _SHARD_CACHE if k[0] != shard_dir]:
         del _SHARD_CACHE[stale]
+    import hashlib
     import os
+    import tempfile
 
-    path = os.path.join(shard_dir, f"pid={pid}")
-    if not os.path.isdir(path):
-        _SHARD_CACHE[key] = None
-        return None
+    if "://" in shard_dir:
+        from pyarrow import fs as pafs
 
-    cdir = os.path.join(path, "_compiled_v2")
-    marker = os.path.join(cdir, "_OK")
-    if not os.path.exists(marker):
-        _compile_shard_split(path, cdir)
+        filesystem, base = pafs.FileSystem.from_uri(shard_dir)
+        remote_path = f"{base}/pid={pid}"
+        if filesystem.get_file_info(remote_path).type == pafs.FileType.NotFound:
+            _SHARD_CACHE[key] = None
+            return None
+        cache_root = os.path.join(
+            os.environ.get("TWSPARK_SHARD_CACHE", tempfile.gettempdir()),
+            "twspark_shard_cache",
+            hashlib.md5(shard_dir.encode()).hexdigest(),
+        )
+        cdir = os.path.join(cache_root, f"pid={pid}", "_compiled_v2")
+        read_path, read_fs = remote_path, filesystem
+    else:
+        path = os.path.join(shard_dir, f"pid={pid}")
+        if not os.path.isdir(path):
+            _SHARD_CACHE[key] = None
+            return None
+        cdir = os.path.join(path, "_compiled_v2")
+        read_path, read_fs = path, None
+
+    if not os.path.exists(os.path.join(cdir, "_OK")):
+        _compile_shard_split(read_path, cdir, filesystem=read_fs)
     entry = {}
     for half in ("local", "remote"):
         if not os.path.exists(os.path.join(cdir, f"{half}_p.npy")):
@@ -376,15 +400,20 @@ def _load_shard_split(shard_dir: str, pid: int):
     return entry
 
 
-def _compile_shard_split(path: str, cdir: str) -> None:
-    """One-time factorization of a locality shard into mmap-able npy files."""
+def _compile_shard_split(path: str, cdir: str, filesystem=None) -> None:
+    """One-time factorization of a locality shard into mmap-able npy files.
+
+    ``filesystem`` (pyarrow FileSystem) reads the parquet from a remote
+    store; the compiled output is always a LOCAL directory (mmap needs it).
+    """
     import os
     import tempfile
 
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(path, columns=["src", "dst", "p", "is_local"])
+    tbl = pq.read_table(path, columns=["src", "dst", "p", "is_local"], filesystem=filesystem)
     mask = tbl.column("is_local").to_numpy()
+    os.makedirs(os.path.dirname(cdir), exist_ok=True)
     tmp = tempfile.mkdtemp(dir=os.path.dirname(cdir), prefix="_compile_")
     for half, sub in (("local", tbl.filter(mask)), ("remote", tbl.filter(~mask))):
         if sub.num_rows == 0:

@@ -34,12 +34,13 @@ from __future__ import annotations
 import json
 import os
 import re
-import shutil
 import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import fsio
 
 __all__ = ["CheckpointStore", "IcebergCheckpointStore"]
 
@@ -51,7 +52,13 @@ def _superstep_dir(root: str, run_id: str, superstep: int) -> str:
 
 
 class CheckpointStore:
-    """Per-superstep atomic state + metrics + lineage commits on local/DFS paths."""
+    """Per-superstep atomic state + metrics + lineage commits.
+
+    ``root`` may be a local/shared path OR any pyarrow FileSystem URI
+    (``file://``, ``s3://``, ``gs://``, ``hdfs://``) — manifests and
+    listings go through :mod:`fsio`, state parquet through Spark, so the
+    durable protocol works against an object store on a real cluster.
+    """
 
     def __init__(self, root: str, backend: str = "parquet", codec: str | None = None) -> None:
         if backend == "iceberg":
@@ -70,7 +77,7 @@ class CheckpointStore:
         # compression costs more than the bytes), snappy/zstd on object
         # stores where the bytes dominate. Env override for benches.
         self.codec = codec or os.environ.get("SPARK_GRAFT_CKPT_CODEC", "snappy")
-        os.makedirs(root, exist_ok=True)
+        fsio.makedirs(root)
 
     # -- write path ---------------------------------------------------------
     #
@@ -90,11 +97,9 @@ class CheckpointStore:
         which are deterministic re-derivations) are preserved.
         """
         run_dir = os.path.join(self.root, run_id)
-        if not os.path.isdir(run_dir):
-            return
-        for name in os.listdir(run_dir):
+        for name in fsio.listdir(run_dir):
             if name.startswith("superstep="):
-                shutil.rmtree(os.path.join(run_dir, name), ignore_errors=True)
+                fsio.rmtree(os.path.join(run_dir, name))
 
     def write_state(self, run_id: str, superstep: int, state: DataFrame) -> str:
         """Write the superstep's state Parquet; returns the state dir path.
@@ -104,8 +109,8 @@ class CheckpointStore:
         """
         step_dir = _superstep_dir(self.root, run_id, superstep)
         state_dir = os.path.join(step_dir, "state")
-        if os.path.exists(step_dir) and not os.path.exists(os.path.join(step_dir, _MANIFEST)):
-            shutil.rmtree(step_dir)  # torn write from a killed run — redo
+        if fsio.exists(step_dir) and not fsio.exists(os.path.join(step_dir, _MANIFEST)):
+            fsio.rmtree(step_dir)  # torn write from a killed run — redo
         state.write.mode("overwrite").option("compression", self.codec).parquet(state_dir)
         return state_dir
 
@@ -133,20 +138,16 @@ class CheckpointStore:
             "carry": carry or {},
             "lineage": lineage,
         }
-        tmp = os.path.join(step_dir, _MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, os.path.join(step_dir, _MANIFEST))
+        # atomic: tmp+rename locally, single-object PUT on stores
+        fsio.write_json_atomic(os.path.join(step_dir, _MANIFEST), manifest)
 
     # -- read path ----------------------------------------------------------
 
     def completed_supersteps(self, run_id: str) -> list[int]:
         run_dir = os.path.join(self.root, run_id)
-        if not os.path.isdir(run_dir):
-            return []
         out = []
-        for name in sorted(os.listdir(run_dir)):
-            if name.startswith("superstep=") and os.path.exists(
+        for name in sorted(fsio.listdir(run_dir)):
+            if name.startswith("superstep=") and fsio.exists(
                 os.path.join(run_dir, name, _MANIFEST)
             ):
                 out.append(int(name.split("=")[1]))
@@ -157,8 +158,12 @@ class CheckpointStore:
         return steps[-1] if steps else None
 
     def manifest(self, run_id: str, superstep: int) -> dict[str, Any]:
-        with open(os.path.join(_superstep_dir(self.root, run_id, superstep), _MANIFEST)) as f:
-            return json.load(f)
+        man = fsio.read_json(
+            os.path.join(_superstep_dir(self.root, run_id, superstep), _MANIFEST)
+        )
+        if man is None:
+            raise FileNotFoundError(f"no manifest for {run_id} superstep {superstep}")
+        return man
 
     def load_state(self, spark: SparkSession, run_id: str, superstep: int) -> DataFrame:
         return spark.read.parquet(
