@@ -58,7 +58,6 @@ from .runner import GraphRun, run_supersteps
 from .scatter import (
     _load_shard_split,
     csr_gather,
-    local_gather_sums,
     prepare_edges,
     scatter_gather,
     write_edge_shards,
@@ -346,18 +345,26 @@ def _write_state_part(state_dir: str, pid: int, table) -> None:
     os.replace(tmp, _part_path(state_dir, pid))
 
 
-def _part_metrics(vids, ranks, prev, dangling, tol) -> dict[str, Any]:
+def _part_metrics(vids, ranks, prev, dangling, tol, vids_crc: int | None = None) -> dict[str, Any]:
     delta = np.abs(ranks - prev)
+    if vids_crc is None:
+        vids_crc = zlib.crc32(np.ascontiguousarray(vids).tobytes())
     return {
         "n_rows": int(len(vids)),
-        "checksum": int(
-            zlib.crc32(vids.tobytes()) ^ zlib.crc32(np.ascontiguousarray(ranks).tobytes())
-        ),
+        "checksum": int(vids_crc ^ zlib.crc32(np.ascontiguousarray(ranks).tobytes())),
         "delta_max": float(delta.max()) if len(delta) else 0.0,
         "dangling_sum": float(ranks[dangling].sum()) if len(ranks) else 0.0,
         "total_mass": float(ranks.sum()),
         "active": int((delta > tol).sum()),
     }
+
+
+def _remote_frame(dst_uniq, sums) -> pd.DataFrame:
+    """Remote-contribution rows in the fused metrics schema (pid NULL)."""
+    out = pd.DataFrame({"dst": np.asarray(dst_uniq), "c": sums})
+    for col in ("pid", "n_rows", "checksum", "delta_max", "dangling_sum", "total_mass", "active"):
+        out[col] = None
+    return out
 
 
 def _remote_partials(sd: str, pid: int, vids, ranks) -> pd.DataFrame | None:
@@ -371,10 +378,117 @@ def _remote_partials(sd: str, pid: int, vids, ranks) -> pd.DataFrame | None:
     if np.isnan(aligned).any():
         raise RuntimeError(f"remote gather misalignment in partition {pid}")
     sums = np.bincount(dst_codes, weights=p * aligned[src_codes], minlength=len(dst_uniq))
-    out = pd.DataFrame({"dst": dst_uniq, "c": sums})
-    for col in ("pid", "n_rows", "checksum", "delta_max", "dangling_sum", "total_mass", "active"):
-        out[col] = None
-    return out
+    return _remote_frame(dst_uniq, sums)
+
+
+# -- compiled per-partition alignment (mmap, machine-shared) ------------------
+#
+# Everything below is SUPERSTEP-INVARIANT: the static vertex arrays of a
+# partition, their checksum, and the PER-EDGE positions of each edge's
+# endpoints within those arrays. A naive in-worker dict cache does NOT work:
+# Spark assigns tasks to workers arbitrarily, so most supersteps miss and
+# rebuild a vertex-sized hash alignment in freshly-faulted pages (measured:
+# the rebuild anti-scales with cores — fresh-page zeroing is a machine-wide
+# ~2 GB/s resource on this VM). Instead the alignment is COMPILED ONCE per
+# (run, pid) into mmap-able ``.npy`` files next to the static state
+# (node-local cache for URI stores, like the shards): any worker's "miss"
+# is then a mmap open (microseconds) against pages every worker on the
+# machine shares. Positions are composed down to edge granularity at
+# compile time (``pos[codes]``), so a superstep's gather is one rank
+# fancy-index + in-place multiply + one bincount straight into the
+# vid-indexed vector — no vertex-sized aligned temp, no scatter pass.
+
+_ALIGNED_CACHE: dict = {}
+_ALIGNED_OPT = ("epos_src_local", "epos_dst_local", "epos_src_remote")
+
+
+def _aligned_cdir(static_dir: str, pid: int) -> str:
+    if fsio.is_uri(static_dir):
+        import hashlib
+        import tempfile as _tf
+
+        root = os.path.join(
+            os.environ.get("TWSPARK_SHARD_CACHE", _tf.gettempdir()),
+            "twspark_shard_cache",
+            hashlib.md5(static_dir.encode()).hexdigest(),
+        )
+        return os.path.join(root, f"aligned-{pid:05d}-v2")
+    return os.path.join(static_dir, f"aligned-{pid:05d}-v2")
+
+
+def _compile_aligned(static_dir: str, sd: str, pid: int, cdir: str) -> bool:
+    """One-time alignment compile for a partition; atomic dir publish.
+
+    Misalignment (a shard endpoint missing from its home partition) fails
+    loudly — the home-partitioning contract is broken, not a data condition.
+    """
+    import tempfile as _tf
+
+    st = _read_state_part(static_dir, pid, columns=["vid", "dangling"])
+    if st is None:
+        return False
+    shard = _load_shard_split(sd, pid)
+    vids = st.column("vid").to_numpy()
+    idx = pd.Series(np.arange(len(vids), dtype=np.int64), index=vids)
+    out: dict[str, np.ndarray] = {
+        "vids": vids,
+        "dang": st.column("dangling").to_numpy(),
+        "crc": np.array([zlib.crc32(np.ascontiguousarray(vids).tobytes())], dtype=np.int64),
+    }
+    for half in ("local", "remote"):
+        h = None if shard is None else shard[half]
+        if h is None:
+            continue
+        src_codes, src_uniq, dst_codes, dst_uniq, _p = h
+        pos_src = idx.reindex(np.asarray(src_uniq)).to_numpy()
+        if np.isnan(pos_src).any():
+            raise RuntimeError(
+                f"{half} gather misalignment: shard srcs missing from partition {pid}"
+            )
+        out[f"epos_src_{half}"] = pos_src.astype(np.int32)[np.asarray(src_codes)]
+        if half == "local":
+            pos_dst = idx.reindex(np.asarray(dst_uniq)).to_numpy()
+            if np.isnan(pos_dst).any():
+                raise RuntimeError(
+                    f"local gather misalignment: shard dsts missing from partition {pid}"
+                )
+            out["epos_dst_local"] = pos_dst.astype(np.int32)[np.asarray(dst_codes)]
+    os.makedirs(os.path.dirname(cdir), exist_ok=True)
+    tmp = _tf.mkdtemp(dir=os.path.dirname(cdir), prefix="_align_")
+    for name, arr in out.items():
+        np.save(os.path.join(tmp, f"{name}.npy"), np.ascontiguousarray(arr))
+    open(os.path.join(tmp, "_OK"), "w").close()
+    try:
+        os.replace(tmp, cdir)  # concurrent compilers race benignly
+    except OSError:
+        import shutil as _sh
+
+        _sh.rmtree(tmp, ignore_errors=True)
+    return True
+
+
+def _load_aligned(static_dir: str, sd: str, pid: int):
+    """mmap-loaded static+alignment arrays for one partition (or None)."""
+    key = (static_dir, pid)
+    if key in _ALIGNED_CACHE:
+        return _ALIGNED_CACHE[key]
+    for stale in [k for k in _ALIGNED_CACHE if k[0] != static_dir]:
+        del _ALIGNED_CACHE[stale]
+    cdir = _aligned_cdir(static_dir, pid)
+    if not os.path.exists(os.path.join(cdir, "_OK")):
+        if not _compile_aligned(static_dir, sd, pid, cdir):
+            _ALIGNED_CACHE[key] = None
+            return None
+    ent = {
+        "vids": np.load(os.path.join(cdir, "vids.npy"), mmap_mode="r"),
+        "dang": np.load(os.path.join(cdir, "dang.npy"), mmap_mode="r"),
+        "crc": int(np.load(os.path.join(cdir, "crc.npy"))[0]),
+    }
+    for name in _ALIGNED_OPT:
+        path = os.path.join(cdir, f"{name}.npy")
+        ent[name] = np.load(path, mmap_mode="r") if os.path.exists(path) else None
+    _ALIGNED_CACHE[key] = ent
+    return ent
 
 
 # one row per partition (metrics + lineage) ∪ remote-partial rows for the
@@ -629,6 +743,11 @@ def _pagerank_local_files_inner(
             vids = vids[order]
             ranks = pdf["rank"].to_numpy()[order]
             dang = pdf["dangling"].to_numpy(dtype=bool)[order]
+            # rewriting static invalidates any compiled alignment of a
+            # previous derivation under this (store, run, P)
+            import shutil as _sh
+
+            _sh.rmtree(_aligned_cdir(static_dir, pid), ignore_errors=True)
             _write_state_part(
                 static_dir,
                 pid,
@@ -698,78 +817,119 @@ def _pagerank_local_files_inner(
 
     converged = bool(carry.get("_converged"))
     last = start - 1
-    for k in range(start, max_iter + 1):
-        t0 = _time.monotonic()
-        prev_dir = _state_dir(store, run_id, k - 1)
-        next_dir = _state_dir(store, run_id, k)
-        dpv = carry["dangling_sum"] / n
-        remote = {int(k_): float(v) for k_, v in carry.get("remote", {}).items()}
+
+    # Per-superstep parameters travel through a tiny params file instead of
+    # the task closure: the update DataFrame below is then built + analyzed
+    # ONCE per run and re-collected every superstep (a fresh mapInPandas
+    # plan per superstep costs ~50 ms of analysis — pure driver-side fixed
+    # overhead that the N→4N scaling pair pays asymmetrically).
+    params_path = os.path.join(store.root, run_id, "_superstep_params.json")
+
+    def update_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _t
+
+        prm = fsio.read_json(params_path)
+        prev_dir, next_dir = prm["prev_dir"], prm["next_dir"]
+        recycle_dir = prm["recycle_dir"]
+        dpv = float(prm["dpv"])
         # hub contributions as sorted parallel arrays: applied per partition
         # with ONE np.searchsorted against the (sorted) static vids — no
         # per-hub Python loop, no vertex-sized hash reindex
-        rvids_g = np.fromiter(remote.keys(), dtype=np.int64, count=len(remote))
-        rvals_g = np.fromiter(remote.values(), dtype=np.float64, count=len(remote))
-        _ord = np.argsort(rvids_g, kind="stable")
-        rvids_g, rvals_g = rvids_g[_ord], rvals_g[_ord]
+        rvids_g = np.asarray(prm["rvids"], dtype=np.int64)
+        rvals_g = np.asarray(prm["rvals"], dtype=np.float64)
 
-        # retention window 2: writing superstep k recycles k-2's segments —
-        # k and k-1 stay durable, which is exactly what resume needs
-        recycle_dir = _state_dir(store, run_id, k - 2) if k >= 2 else None
+        instr = os.environ.get("TWSPARK_INSTR")
+        marks: list = []
+        # remote contributions accumulate across ALL pids of this task and
+        # flush as ONE pre-reduced frame — the driver collects n_tasks ×
+        # ≤#hubs rows per superstep instead of P × ≤#hubs
+        racc: list[pd.DataFrame] = []
 
-        def update_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import time as _t
+        def mk(name, t0):
+            if instr:
+                marks.append((name, _t.perf_counter() - t0))
 
-            instr = os.environ.get("TWSPARK_INSTR")
-            marks: list = []
+        for pdf in batches:
+            for pid in pdf["pid"].to_numpy():
+                pid = int(pid)
+                t0 = _t.perf_counter()
+                al = _load_aligned(static_dir, sd, pid)
+                ranks = _read_rank_part(prev_dir, pid)
+                mk("read", t0)
+                if al is None or ranks is None:
+                    continue
+                vids, dang = al["vids"], al["dang"]
+                t0 = _t.perf_counter()
+                shard = _load_shard_split(sd, pid)
+                mk("shard", t0)
+                t0 = _t.perf_counter()
+                # local gather through the compiled per-edge position maps:
+                # one rank fancy-index + in-place multiply + one bincount
+                # straight into the vid-indexed vector
+                if al["epos_src_local"] is not None:
+                    p = shard["local"][4]
+                    g = ranks[al["epos_src_local"]]
+                    np.multiply(g, p, out=g)
+                    local_c = np.bincount(
+                        al["epos_dst_local"], weights=g, minlength=len(vids)
+                    )
+                else:
+                    local_c = np.zeros(len(vids))
+                mk("local", t0)
+                t0 = _t.perf_counter()
+                new_rank = base + d * (local_c + dpv)
+                if len(rvids_g):
+                    pos = np.searchsorted(vids, rvids_g)
+                    pos_c = np.minimum(pos, len(vids) - 1)
+                    hit = np.asarray(vids[pos_c] == rvids_g)
+                    if hit.any():
+                        new_rank[pos_c[hit]] += d * rvals_g[hit]
+                mk("remote_align", t0)
+                t0 = _t.perf_counter()
+                _write_rank_part(next_dir, pid, new_rank, recycle_dir)
+                mk("write", t0)
+                t0 = _t.perf_counter()
+                m = _part_metrics(vids, new_rank, ranks, dang, _tol, vids_crc=al["crc"])
+                mk("metrics", t0)
+                yield pd.DataFrame([{"pid": pid, **m, "dst": None, "c": None}])
+                t0 = _t.perf_counter()
+                if al["epos_src_remote"] is not None:
+                    dst_codes, dst_uniq = shard["remote"][2], shard["remote"][3]
+                    g = new_rank[al["epos_src_remote"]]
+                    np.multiply(g, shard["remote"][4], out=g)
+                    sums = np.bincount(dst_codes, weights=g, minlength=len(dst_uniq))
+                    racc.append(pd.DataFrame({"dst": np.asarray(dst_uniq), "c": sums}))
+                mk("rpartials", t0)
+        if racc:
+            merged = pd.concat(racc, ignore_index=True).groupby("dst", as_index=False)["c"].sum()
+            yield _remote_frame(merged["dst"].to_numpy(), merged["c"].to_numpy())
+        if instr and marks:
+            with open(f"{instr}/{os.getpid()}.log", "a") as f:
+                for name, dt in marks:
+                    f.write(f"{name} {dt:.4f}\n")
 
-            def mk(name, t0):
-                if instr:
-                    marks.append((name, _t.perf_counter() - t0))
+    update_df = pids.mapInPandas(update_pass, schema=_METRICS_SCHEMA)
 
-            for pdf in batches:
-                for pid in pdf["pid"].to_numpy():
-                    pid = int(pid)
-                    t0 = _t.perf_counter()
-                    st = _read_state_part(static_dir, pid)
-                    ranks = _read_rank_part(prev_dir, pid)
-                    mk("read", t0)
-                    if st is None or ranks is None:
-                        continue
-                    vids = st.column("vid").to_numpy()
-                    dang = st.column("dangling").to_numpy()
-                    t0 = _t.perf_counter()
-                    shard = _load_shard_split(sd, pid)
-                    mk("shard", t0)
-                    t0 = _t.perf_counter()
-                    local_c = local_gather_sums(vids, ranks, shard, pid)
-                    mk("local", t0)
-                    t0 = _t.perf_counter()
-                    new_rank = base + d * (local_c + dpv)
-                    if len(rvids_g):
-                        pos = np.searchsorted(vids, rvids_g)
-                        pos_c = np.minimum(pos, len(vids) - 1)
-                        hit = vids[pos_c] == rvids_g
-                        if hit.any():
-                            new_rank[pos_c[hit]] += d * rvals_g[hit]
-                    mk("remote_align", t0)
-                    t0 = _t.perf_counter()
-                    _write_rank_part(next_dir, pid, new_rank, recycle_dir)
-                    mk("write", t0)
-                    t0 = _t.perf_counter()
-                    m = _part_metrics(vids, new_rank, ranks, dang, _tol)
-                    mk("metrics", t0)
-                    yield pd.DataFrame([{"pid": pid, **m, "dst": None, "c": None}])
-                    t0 = _t.perf_counter()
-                    rp = _remote_partials(sd, pid, vids, new_rank)
-                    mk("rpartials", t0)
-                    if rp is not None:
-                        yield rp
-            if instr and marks:
-                with open(f"{instr}/{os.getpid()}.log", "a") as f:
-                    for name, dt in marks:
-                        f.write(f"{name} {dt:.4f}\n")
-
-        rows = pids.mapInPandas(update_pass, schema=_METRICS_SCHEMA).collect()
+    for k in range(start, max_iter + 1):
+        t0 = _time.monotonic()
+        dpv = carry["dangling_sum"] / n
+        remote = {int(k_): float(v) for k_, v in carry.get("remote", {}).items()}
+        rv = sorted(remote.items())
+        fsio.write_json_atomic(
+            params_path,
+            {
+                "superstep": k,
+                "prev_dir": _state_dir(store, run_id, k - 1),
+                "next_dir": _state_dir(store, run_id, k),
+                # retention window 2: writing superstep k recycles k-2's
+                # segments — k and k-1 stay durable, exactly what resume needs
+                "recycle_dir": _state_dir(store, run_id, k - 2) if k >= 2 else None,
+                "dpv": dpv,
+                "rvids": [x[0] for x in rv],
+                "rvals": [x[1] for x in rv],
+            },
+        )
+        rows = update_df.collect()
         metrics_rows, next_remote = _split_rows(rows)
         metrics, lineage, converged = _combine(metrics_rows, k)
         carry = {
