@@ -1,9 +1,13 @@
 """Benchmark harness — headline throughput + two-parallelism scaling evidence.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (kept < 1.6 KB so the harness's stdout tail
+always captures it whole):
   {"metric": "...", "value": <edges/sec>, "unit": "edges/sec",
    "total_sec": <wall>, "queries": {name: sec, ...}, "sf": <sf>,
-   "pagerank": [...], "edges_per_sec": N, "scaling_efficiency": e}
+   "edges_per_sec": N, "scaling_efficiency": e, "scaling_pair": [1, 4],
+   "scaling_efficiency_hi": e2, "scaling_pair_hi": [8, 32]}
+Per-parallelism-level pagerank detail: BENCH/pagerank_levels.json +
+BENCH/BASELINE.md.
 
 North-star metric (BASELINE.json): edges/sec per superstep, PageRank to
 1e-6 convergence, on the synthetic transcript-derived edge graph, plus
@@ -227,13 +231,23 @@ def write_baseline_md(pr_results: list[dict], eff: float | None, eff_hi: float |
     lines += [""]
     if eff is not None:
         lines += [
-            f"**Scaling efficiency, N→4N executors (sandbox proxy per BASELINE.md: "
-            f"local[{SCALE_LOW}] → local[{SCALE_HIGH}], pinned, identical job+input+"
-            f"partitioning): {eff:.3f}** (target ≥ 0.8)."
-            + (f" Thread-scaling {pair_hi[0]}→{pair_hi[1]} cores: {eff_hi:.3f} — see roofline."
-               if eff_hi and pair_hi else ""),
+            "Both scaling pairs are first-class metrics (both appear in the "
+            "bench JSON every round):",
             "",
+            f"* **Headline N→4N pair (sandbox executor proxy, pinned "
+            f"local[{SCALE_LOW}] → local[{SCALE_HIGH}], identical job+input+"
+            f"partitioning): {eff:.3f}** (target ≥ 0.8).",
         ]
+        if eff_hi and pair_hi:
+            lines += [
+                f"* Thread-scaling transparency pair {pair_hi[0]}→{pair_hi[1]} "
+                f"cores: **{eff_hi:.3f} — this pair does NOT meet the 0.8 "
+                "target on this VM** and is not expected to: past ~2-8 "
+                "threads one memory controller saturates (measured roofline "
+                "below), so it measures the sandbox's DRAM wall, not the "
+                "engine's cross-executor scaling.",
+            ]
+        lines += [""]
     lines += [
         "## Machine roofline (why the N→4N proxy is the pinned pair, measured)",
         "",
@@ -311,21 +325,30 @@ def main() -> None:
     qtimes = bench_queries()
     write_baseline_md(pr_results, eff, eff_hi, pair_hi)
 
+    # the per-level pagerank detail goes to a sidecar file, NOT the stdout
+    # JSON: round 3's single line (4 pagerank entries + 16 query timings)
+    # outgrew the harness's stdout tail window and the driver recorded
+    # "parsed": null — the final line must stay compact
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/pagerank_levels.json", "w") as f:
+        json.dump({"pagerank": pr_results, "partitions": PARTITIONS,
+                   "n_convs": N_CONVS}, f, indent=1)
     result = {
-        "metric": "edges/sec per superstep (PageRank to 1e-6, transcript-derived graph)",
+        "metric": "edges/sec per superstep (PageRank to 1e-6, transcript graph)",
         "value": hi["edges_per_sec_median"],
         "unit": "edges/sec",
         "total_sec": round(sum(qtimes.values()) + hi["total_sec"], 2),
         "queries": qtimes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "pagerank": pr_results,
         "edges_per_sec": hi["edges_per_sec_median"],
         "scaling_efficiency": round(eff, 3) if eff is not None else None,
         "scaling_pair": [SCALE_LOW, SCALE_HIGH],
         "scaling_efficiency_hi": round(eff_hi, 3) if eff_hi is not None else None,
         "scaling_pair_hi": pair_hi,
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    assert len(line) < 1600, f"bench JSON line too long for the driver: {len(line)}"
+    print(line)
     # drop per-run checkpoint dirs (tmpfs); keep the cached edge table
     import glob as _glob
     import shutil as _shutil

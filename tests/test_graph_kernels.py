@@ -197,6 +197,16 @@ def test_pagerank_local_mode_via_file_uri(spark, tmp_path, monkeypatch):
     root = tmp_path / "uri_store"
     assert any(p.name.startswith("superstep=") for p in root.glob(f"{r_uri.run_id}/*"))
     assert list(root.glob(f"{r_uri.run_id}/superstep=*/state/rank-*.f64"))
+    # retention window 2 on URI roots: superseded rank segments are deleted
+    # (local roots recycle them implicitly) — only k-1 and k survive, while
+    # every superstep keeps its manifest/metrics for lineage history
+    steps_with_ranks = {
+        int(p.parent.parent.name.split("=")[1])
+        for p in root.glob(f"{r_uri.run_id}/superstep=*/state/rank-*.f64")
+    }
+    last = r_uri.supersteps
+    assert steps_with_ranks == {last - 1, last}
+    assert len(r_uri.metrics) == last + 1
 
 
 def test_pagerank_local_mode_resume_under_different_partitions_raises(spark, tmp_path):

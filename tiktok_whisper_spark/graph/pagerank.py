@@ -308,18 +308,17 @@ def _read_rank_part(state_dir: str, pid: int) -> np.ndarray | None:
 def _read_state_part(state_dir: str, pid: int, columns: list[str] | None = None):
     import pyarrow.parquet as pq
 
-    if "://" in state_dir:
-        from pyarrow import fs as pafs
-
-        filesystem, base = pafs.FileSystem.from_uri(state_dir)
-        path = f"{base}/part-{pid:05d}.parquet"
-        if filesystem.get_file_info(path).type == pafs.FileType.NotFound:
+    fs, base = fsio.fs_and_path(state_dir)  # one cached client per authority
+    path = _part_path(base, pid)
+    if fs is None:
+        if not os.path.exists(path):
             return None
-        return pq.read_table(path, columns=columns, filesystem=filesystem)
-    path = _part_path(state_dir, pid)
-    if not os.path.exists(path):
+        return pq.read_table(path, columns=columns)
+    from pyarrow import fs as pafs
+
+    if fs.get_file_info(path).type == pafs.FileType.NotFound:
         return None
-    return pq.read_table(path, columns=columns)
+    return pq.read_table(path, columns=columns, filesystem=fs)
 
 
 def _write_state_part(state_dir: str, pid: int, table) -> None:
@@ -331,18 +330,15 @@ def _write_state_part(state_dir: str, pid: int, table) -> None:
     """
     import pyarrow.parquet as pq
 
-    if "://" in state_dir:
-        from pyarrow import fs as pafs
-
-        filesystem, base = pafs.FileSystem.from_uri(state_dir)
-        filesystem.create_dir(base, recursive=True)
-        pq.write_table(table, f"{base}/part-{pid:05d}.parquet",
-                       compression="none", filesystem=filesystem)
+    fs, base = fsio.fs_and_path(state_dir)
+    if fs is not None:
+        fs.create_dir(base, recursive=True)
+        pq.write_table(table, _part_path(base, pid), compression="none", filesystem=fs)
         return
-    os.makedirs(state_dir, exist_ok=True)
-    tmp = _part_path(state_dir, pid) + f".tmp-{os.getpid()}"
+    os.makedirs(base, exist_ok=True)
+    tmp = _part_path(base, pid) + f".tmp-{os.getpid()}"
     pq.write_table(table, tmp, compression="none")
-    os.replace(tmp, _part_path(state_dir, pid))
+    os.replace(tmp, _part_path(base, pid))
 
 
 def _part_metrics(vids, ranks, prev, dangling, tol, vids_crc: int | None = None) -> dict[str, Any]:
@@ -940,6 +936,13 @@ def _pagerank_local_files_inner(
         }
         metrics.update(superstep=k, wall_ms=round(1000 * (_time.monotonic() - t0), 1))
         store.finalize(run_id, k, lineage, metrics, carry)
+        if k >= 2 and fsio.is_uri(store.root):
+            # local roots enforce the retention window implicitly (the k-2
+            # segment is renamed into k's slot by the recycle path); URI
+            # stores skip recycling, so delete k-2 explicitly or an
+            # object-store run accumulates one full rank vector per
+            # partition per superstep (retention window stays: k, k-1)
+            fsio.rmtree(_state_dir(store, run_id, k - 2))
         history.append(metrics)
         last = k
         if converged:

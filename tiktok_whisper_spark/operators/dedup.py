@@ -135,6 +135,18 @@ def ngram_jaccard_pairs(
     # inline the gram pipeline into per-branch predicates (the same
     # O(tokens²)-per-row rewrite minhash guards against).
     sh = shingles(df, id_col, text_col, n).persist()
+    try:
+        return _ngram_jaccard_pairs_inner(sh, threshold, max_doc_freq)
+    finally:
+        # the result below is eagerly materialized (localCheckpoint), so the
+        # shingle cache is no longer referenced — unpersisting here keeps
+        # repeated calls in a long-lived session from leaking cached blocks
+        sh.unpersist()
+
+
+def _ngram_jaccard_pairs_inner(
+    sh: DataFrame, threshold: float, max_doc_freq: int | None
+) -> DataFrame:
     if max_doc_freq:
         rare = (
             sh.groupBy("shingle")
@@ -152,7 +164,7 @@ def ngram_jaccard_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    return (
+    out = (
         shared.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a")), "a")
         .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b")), "b")
         .select(
@@ -165,6 +177,10 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    # eager: the surviving pairs (tiny — only those ≥ threshold) are pinned
+    # so the caller never re-runs the shingle join after the cache is dropped;
+    # localCheckpoint blocks are GC-cleaned with the DataFrame, unlike persist
+    return out.localCheckpoint()
 
 
 def minhash_signatures(
@@ -456,8 +472,13 @@ def embedding_near_dups(
         F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b")
     )
     pairs = lhs.crossJoin(rhs).where(F.col("blk_a") <= F.col("blk_b"))
-    # spread block-pair tasks across the cluster
-    pairs = pairs.repartition(max(n_blocks * (n_blocks + 1) // 2, 1))
+    # spread block-pair tasks across the cluster; clamp to a small multiple
+    # of the parallelism — at 10M docs the raw pair count (~n_blocks²/2) is
+    # tens of millions and a partition per pair would drown the scheduler
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    pairs = pairs.repartition(
+        max(1, min(n_pairs, 4 * spark.sparkContext.defaultParallelism))
+    )
 
     thr = float(threshold)
 

@@ -39,33 +39,53 @@ __all__ = [
     "rmtree",
 ]
 
-_FS_CACHE: dict[str, Any] = {}
+# keyed by (scheme, netloc): two buckets / namenodes / regions must never
+# share a client. Value is (FileSystem, strip_len): fs_path for any sibling
+# URI under the same authority is path[strip_len:] — derived by string
+# slicing, so the expensive FileSystem.from_uri runs ONCE per authority,
+# not once per call (this sits on the hot path of every worker-task
+# exists/read/write and every superstep commit).
+_FS_CACHE: dict[tuple[str, str], tuple[Any, int]] = {}
 
 
 def is_uri(path: str) -> bool:
     return "://" in path
 
 
+def _authority(path: str) -> tuple[str, str]:
+    scheme, rest = path.split("://", 1)
+    return scheme, rest.split("/", 1)[0]
+
+
 def fs_and_path(path: str):
     """``(FileSystem, fs_path)`` for a URI; ``(None, path)`` for a local path.
 
-    The FileSystem instance is cached per URI prefix — pyarrow S3/GCS
-    clients are expensive to construct and safe to share.
+    The FileSystem instance is cached per ``(scheme, netloc)`` — pyarrow
+    S3/GCS/HDFS clients are expensive to construct and safe to share, but
+    only within one authority (bucket / namenode).
     """
     if not is_uri(path):
         return None, path
     from pyarrow import fs as pafs
 
-    scheme = path.split("://", 1)[0]
-    cached = _FS_CACHE.get(scheme)
+    key = _authority(path)
+    cached = _FS_CACHE.get(key)
     if cached is None:
-        cached, _ = pafs.FileSystem.from_uri(path)
-        _FS_CACHE[scheme] = cached
-    # normalize: strip scheme (and keep everything after '://'); pyarrow's
-    # from_uri returns the same split, but we re-derive it per call so one
-    # cached client serves every path under the scheme.
-    _, fs_path = pafs.FileSystem.from_uri(path)
-    return cached, fs_path
+        fs, fs_path = pafs.FileSystem.from_uri(path)
+        # pyarrow's fs_path is a suffix of the URI (e.g. s3://b/k -> "b/k",
+        # hdfs://h:p/k -> "/k"); record how many leading chars the authority
+        # prefix occupies so siblings resolve with a slice, not a client build
+        if fs_path and path.endswith(fs_path):
+            strip_len = len(path) - len(fs_path)
+        else:  # defensive: root URIs / normalization edge cases
+            strip_len = -1
+        cached = (fs, strip_len)
+        _FS_CACHE[key] = cached
+        return fs, fs_path
+    fs, strip_len = cached
+    if strip_len >= 0:
+        return fs, path[strip_len:]
+    return fs, pafs.FileSystem.from_uri(path)[1]
 
 
 def exists(path: str) -> bool:
@@ -85,8 +105,22 @@ def makedirs(path: str) -> None:
         fs.create_dir(p, recursive=True)
 
 
+# object stores where a completed PUT is atomic (readers never observe a
+# partial object); everything else (hdfs, file-routed-through-pyarrow, mock)
+# exposes bytes as they stream, so those get tmp-name + move semantics
+_ATOMIC_PUT_FS = {"s3", "gcs", "gs"}
+
+
 def write_bytes(path: str, data: bytes) -> None:
-    """Single-object write. On local paths: tmp + atomic rename."""
+    """Atomic-visibility write: readers see the old object or the full new one.
+
+    Local paths: tmp + ``os.replace``. Object stores (s3/gs): single PUT —
+    atomic per object. Other pyarrow filesystems (hdfs://, file://): a
+    streaming ``open_output_stream`` exposes partial bytes mid-write, which
+    would break the "manifest is the commit point" invariant checkpoint
+    finalize relies on — so write a tmp name and ``fs.move`` into place
+    (rename is atomic on hdfs and POSIX).
+    """
     fs, p = fs_and_path(path)
     if fs is None:
         os.makedirs(os.path.dirname(p), exist_ok=True)
@@ -96,8 +130,14 @@ def write_bytes(path: str, data: bytes) -> None:
         os.replace(tmp, p)
     else:
         fs.create_dir(os.path.dirname(p), recursive=True)
-        with fs.open_output_stream(p) as f:
-            f.write(data)
+        if fs.type_name in _ATOMIC_PUT_FS:
+            with fs.open_output_stream(p) as f:
+                f.write(data)
+        else:
+            tmp = f"{p}.tmp-{os.getpid()}"
+            with fs.open_output_stream(tmp) as f:
+                f.write(data)
+            fs.move(tmp, p)
 
 
 def read_bytes(path: str) -> bytes | None:
