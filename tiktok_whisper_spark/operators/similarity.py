@@ -150,6 +150,7 @@ def kmeans(
     max_iter: int = 20,
     tol: float = 1e-4,
     seed: int = 42,
+    init_centroids: np.ndarray | None = None,
 ) -> KMeansResult:
     """k-means++ seeding + Lloyd iterations as DataFrame jobs.
 
@@ -157,15 +158,23 @@ def kmeans(
     cap — ``clustering.js:453-518``) with deterministic seeding: k-means++
     D²-sampling over a seeded driver-side sample (the reference samples ≤200
     points for PCA the same way, ``clustering.js:160-164``).
+    ``init_centroids`` replaces the seeding with a caller-fixed (k, dim)
+    start — the SQL-replayable driver twin uses it (with ``tol=0.0`` the
+    loop runs exactly ``max_iter`` Lloyd iterations, no early stop).
     """
     data = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).persist()
     n = data.count()
     if n == 0 or k <= 0:
         raise ValueError("kmeans: empty input or k<=0")
 
-    # k-means++ on a bounded sample (deterministic): D² sampling in NumPy
-    # over a seeded-hash-ordered driver sample.
-    c = _kmeanspp_seeds(data, k, seed)
+    if init_centroids is not None:
+        c = np.asarray(init_centroids, dtype=np.float64)
+        if c.shape[0] != k:
+            raise ValueError(f"init_centroids has {c.shape[0]} rows, expected k={k}")
+    else:
+        # k-means++ on a bounded sample (deterministic): D² sampling in NumPy
+        # over a seeded-hash-ordered driver sample.
+        c = _kmeanspp_seeds(data, k, seed)
 
     inertia = float("inf")
     iterations = 0

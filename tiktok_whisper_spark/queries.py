@@ -981,6 +981,62 @@ def vector_kmeans_sizes(spark, sf_dir):
     return km.assignments.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _kmeans_unrolled_sql(k: int = 8, iters: int = 10) -> str:
+    """DuckDB twin of ``kmeans(..., init_centroids=first-k, tol=0)``: each
+    Lloyd iteration is ANSI — argmin assignment (row_number over distance)
+    then per-cluster coordinate mean (unnest + avg + re-list), with empty
+    clusters keeping their previous centroid (the COALESCE). MATERIALIZED
+    keeps DuckDB from re-inlining the centroid chain exponentially."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < {k})"
+    ]
+    for i in range(iters):
+        parts += [
+            f"a{i} AS (SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY list_distance(e.v, c.cvec), c.cid) AS rn FROM e CROSS JOIN c{i} c)",
+            f"s{i} AS (SELECT vec_id, cid FROM a{i} WHERE rn = 1)",
+            f"u{i} AS (SELECT s.cid, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS val "
+            f"FROM s{i} s JOIN e USING (vec_id))",
+            f"g{i} AS (SELECT cid, list(mv ORDER BY pos) AS cvec FROM "
+            f"(SELECT cid, pos, avg(val) AS mv FROM u{i} GROUP BY cid, pos) GROUP BY cid)",
+            f"c{i + 1} AS MATERIALIZED (SELECT p.cid, coalesce(n.cvec, p.cvec) AS cvec "
+            f"FROM c{i} p LEFT JOIN g{i} n USING (cid))",
+        ]
+    parts.append(
+        f"fa AS (SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY list_distance(e.v, c.cvec), c.cid) AS rn FROM e CROSS JOIN c{iters} c)"
+    )
+    return (
+        ", ".join(parts)
+        + " SELECT CAST(cid AS BIGINT) AS cluster, count(*) AS n FROM fa WHERE rn = 1 GROUP BY cid"
+    )
+
+
+@_register("vector_kmeans_10iter", _kmeans_unrolled_sql(8, 10))
+def vector_kmeans_10iter(spark, sf_dir):
+    """The FULL Lloyd pipeline (K2) as a driver-green row: fixed start
+    (first-8 embeddings), exactly 10 distributed Lloyd iterations through the
+    engine's partition-NumPy partials + k×dim-row reduction, final assignment
+    histogram. Identical code to ``vector_kmeans_sizes`` minus the k-means++
+    seeding draw (the one non-ANSI step), so the driver verifies the whole
+    iterative kernel; the seeded path stays pytest-verified vs NumPy."""
+    import numpy as np
+
+    from .operators.similarity import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    c0 = np.asarray([[float(x) for x in r["embedding"]] for r in cent_rows])
+    km = kmeans(emb, "vec_id", "embedding", k=8, max_iter=10, tol=0.0, init_centroids=c0)
+    return km.assignments.groupBy(F.col("cluster").cast("bigint").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 @_register(
     "vector_ann_ivf",
     "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0), "
