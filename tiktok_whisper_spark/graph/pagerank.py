@@ -341,17 +341,44 @@ def _write_state_part(state_dir: str, pid: int, table) -> None:
     os.replace(tmp, _part_path(base, pid))
 
 
+# chunk sized to stay LLC-resident across the fused passes below: all six
+# reductions + the incremental crc touch a chunk while it is still cached,
+# so the vector streams from DRAM ~twice instead of ~seven times (metrics
+# was ~20% of a superstep, and the excess traffic inflated 4-core busy time
+# by several percent — pure contention on this one-memory-controller box)
+_METRICS_CHUNK = 1 << 20
+
+
 def _part_metrics(vids, ranks, prev, dangling, tol, vids_crc: int | None = None) -> dict[str, Any]:
-    delta = np.abs(ranks - prev)
+    n_rows = int(len(vids))
+    delta_max, active, dangling_sum, total_mass = 0.0, 0, 0.0, 0.0
+    crc = 0
+    if n_rows:
+        ranks = np.ascontiguousarray(ranks)
+        dang = np.asarray(dangling)
+        scratch = np.empty(min(_METRICS_CHUNK, len(ranks)))
+        for lo in range(0, len(ranks), _METRICS_CHUNK):
+            r = ranks[lo : lo + _METRICS_CHUNK]
+            p = prev[lo : lo + _METRICS_CHUNK]
+            d = scratch[: len(r)]
+            np.subtract(r, p, out=d)
+            np.abs(d, out=d)
+            m = float(d.max())
+            if m > delta_max:
+                delta_max = m
+            active += int(np.count_nonzero(d > tol))
+            dangling_sum += float(np.sum(r, where=dang[lo : lo + _METRICS_CHUNK]))
+            total_mass += float(r.sum())
+            crc = zlib.crc32(memoryview(r).cast("B"), crc)
     if vids_crc is None:
         vids_crc = zlib.crc32(np.ascontiguousarray(vids).tobytes())
     return {
-        "n_rows": int(len(vids)),
-        "checksum": int(vids_crc ^ zlib.crc32(np.ascontiguousarray(ranks).tobytes())),
-        "delta_max": float(delta.max()) if len(delta) else 0.0,
-        "dangling_sum": float(ranks[dangling].sum()) if len(ranks) else 0.0,
-        "total_mass": float(ranks.sum()),
-        "active": int((delta > tol).sum()),
+        "n_rows": n_rows,
+        "checksum": int(vids_crc ^ crc),
+        "delta_max": delta_max,
+        "dangling_sum": dangling_sum,
+        "total_mass": total_mass,
+        "active": active,
     }
 
 
@@ -766,7 +793,9 @@ def _pagerank_local_files_inner(
 
         def init_warm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # static files already on disk (warm run dir): only the constant
-            # 1/n rank vector needs writing
+            # 1/n rank vector needs writing. One metrics frame per task
+            # (same Arrow-batch batching as update_pass).
+            macc: list[dict] = []
             for pdf in batches:
                 for pid in pdf["pid"].to_numpy():
                     pid = int(pid)
@@ -780,10 +809,12 @@ def _pagerank_local_files_inner(
                     m = _part_metrics(vids, ranks, ranks, dang, _tol)
                     m["delta_max"] = 0.0
                     m["active"] = 0
-                    yield pd.DataFrame([{"pid": pid, **m, "dst": None, "c": None}])
+                    macc.append({"pid": pid, **m, "dst": None, "c": None})
                     rp = _remote_partials(sd, pid, vids, ranks)
                     if rp is not None:
                         yield rp
+            if macc:
+                yield pd.DataFrame(macc)
 
         if vertices is not None:
             init = vertices.select(
@@ -836,9 +867,11 @@ def _pagerank_local_files_inner(
 
         instr = os.environ.get("TWSPARK_INSTR")
         marks: list = []
-        # remote contributions accumulate across ALL pids of this task and
-        # flush as ONE pre-reduced frame — the driver collects n_tasks ×
-        # ≤#hubs rows per superstep instead of P × ≤#hubs
+        # metrics AND remote contributions accumulate across ALL pids of
+        # this task and flush as ONE frame each: every yielded frame is a
+        # separate Arrow batch over the worker socket, and 64 one-row
+        # batches measured ~100 ms/superstep of pure serialization overhead
+        macc: list[dict] = []
         racc: list[pd.DataFrame] = []
 
         def mk(name, t0):
@@ -887,7 +920,7 @@ def _pagerank_local_files_inner(
                 t0 = _t.perf_counter()
                 m = _part_metrics(vids, new_rank, ranks, dang, _tol, vids_crc=al["crc"])
                 mk("metrics", t0)
-                yield pd.DataFrame([{"pid": pid, **m, "dst": None, "c": None}])
+                macc.append({"pid": pid, **m, "dst": None, "c": None})
                 t0 = _t.perf_counter()
                 if al["epos_src_remote"] is not None:
                     dst_codes, dst_uniq = shard["remote"][2], shard["remote"][3]
@@ -896,6 +929,8 @@ def _pagerank_local_files_inner(
                     sums = np.bincount(dst_codes, weights=g, minlength=len(dst_uniq))
                     racc.append(pd.DataFrame({"dst": np.asarray(dst_uniq), "c": sums}))
                 mk("rpartials", t0)
+        if macc:
+            yield pd.DataFrame(macc)
         if racc:
             merged = pd.concat(racc, ignore_index=True).groupby("dst", as_index=False)["c"].sum()
             yield _remote_frame(merged["dst"].to_numpy(), merged["c"].to_numpy())
@@ -905,6 +940,7 @@ def _pagerank_local_files_inner(
                     f.write(f"{name} {dt:.4f}\n")
 
     update_df = pids.mapInPandas(update_pass, schema=_METRICS_SCHEMA)
+    _instr = os.environ.get("TWSPARK_INSTR")
 
     for k in range(start, max_iter + 1):
         t0 = _time.monotonic()
@@ -925,7 +961,9 @@ def _pagerank_local_files_inner(
                 "rvals": [x[1] for x in rv],
             },
         )
+        t_params = _time.monotonic()
         rows = update_df.collect()
+        t_collect = _time.monotonic()
         metrics_rows, next_remote = _split_rows(rows)
         metrics, lineage, converged = _combine(metrics_rows, k)
         carry = {
@@ -935,6 +973,12 @@ def _pagerank_local_files_inner(
             "P": P,
         }
         metrics.update(superstep=k, wall_ms=round(1000 * (_time.monotonic() - t0), 1))
+        if _instr:
+            with open(f"{_instr}/driver.log", "a") as f:
+                f.write(
+                    f"{k} params {t_params - t0:.4f} collect {t_collect - t_params:.4f} "
+                    f"post {_time.monotonic() - t_collect:.4f}\n"
+                )
         store.finalize(run_id, k, lineage, metrics, carry)
         if k >= 2 and fsio.is_uri(store.root):
             # local roots enforce the retention window implicitly (the k-2

@@ -113,6 +113,27 @@ def get_spark(
         local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
         os.makedirs(local_dir, exist_ok=True)
 
+    # Python ≤3.11 workers re-parse every zip on sys.path on EVERY task
+    # (unconditional zipimporter.invalidate_caches, fixed upstream in 3.12)
+    # — ~125 ms/task measured here, the dominant per-job fixed cost. The
+    # pyspark_tw_worker shim (repo root) backports the 3.12 mtime guard;
+    # local masters inherit the driver env, so prepending PYTHONPATH is
+    # enough for the daemon to import it. Cluster wiring: see the shim's
+    # docstring. TWSPARK_WORKER_PATCH=0 disables.
+    worker_module_conf: dict[str, str] = {}
+    if (
+        master.startswith("local")
+        and os.environ.get("TWSPARK_WORKER_PATCH", "1") != "0"
+    ):
+        shim_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if os.path.exists(os.path.join(shim_dir, "pyspark_tw_worker.py")):
+            pp = os.environ.get("PYTHONPATH", "")
+            if shim_dir not in pp.split(os.pathsep):
+                os.environ["PYTHONPATH"] = (
+                    f"{shim_dir}{os.pathsep}{pp}" if pp else shim_dir
+                )
+            worker_module_conf["spark.python.worker.module"] = "pyspark_tw_worker"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -134,6 +155,8 @@ def get_spark(
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    for k, v in worker_module_conf.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
