@@ -126,6 +126,59 @@ def test_cc_star_long_chain_converges_in_log_rounds(spark):
     assert set(got.values()) == {0}
 
 
+def test_cc_local_mode_matches_dataframe_and_oracle(spark, tmp_path):
+    """scatter_mode='local' CC (file supersteps, compile-time symmetrization,
+    hub label relay through the driver dict) must land on the EXACT same
+    fixpoint as the DataFrame path and the union-find oracle — including the
+    tool hubs, whose labels travel only through the remote relay."""
+    from tiktok_whisper_spark.operators.edges import turn_adjacency_edges, turn_tool_edges
+    from tiktok_whisper_spark.sources.catalog import CheckpointStore
+
+    t = datagen.transcripts(spark, n_convs=60, seed=7)
+    e = (
+        turn_adjacency_edges(t, include_home=True)
+        .unionByName(turn_tool_edges(t, include_home=True))
+        .localCheckpoint()
+    )
+    run_l = connected_components(
+        e, scatter_mode="local",
+        store=CheckpointStore(str(tmp_path / "cc_local")), resume=False,
+    )
+    assert run_l.converged
+    got = {r["vid"]: r["label"] for r in run_l.state.collect()}
+    rows = [(r["src"], r["dst"], r["weight"]) for r in e.select("src", "dst", "weight").collect()]
+    assert got == cc_oracle(rows)
+    run_df = connected_components(e.select("src", "dst", "weight"), checkpoint_every=10)
+    want = {r["vid"]: r["label"] for r in run_df.state.collect()}
+    assert got == want
+    # per-partition lineage rows were committed with every superstep
+    assert all(m["n_vertices"] == len(got) for m in run_l.metrics)
+
+
+def test_cc_local_mode_kill_resume(spark, tmp_path):
+    """A cc run killed mid-algorithm resumes from the last committed
+    superstep and still reaches the oracle fixpoint."""
+    from tiktok_whisper_spark.operators.edges import turn_adjacency_edges, turn_tool_edges
+    from tiktok_whisper_spark.sources.catalog import CheckpointStore
+
+    t = datagen.transcripts(spark, n_convs=40, seed=9)
+    e = (
+        turn_adjacency_edges(t, include_home=True)
+        .unionByName(turn_tool_edges(t, include_home=True))
+        .localCheckpoint()
+    )
+    store = CheckpointStore(str(tmp_path / "cc_resume"))
+    partial = connected_components(
+        e, scatter_mode="local", store=store, run_id="r", resume=False, max_iter=1
+    )
+    assert not partial.converged and partial.supersteps == 1
+    resumed = connected_components(e, scatter_mode="local", store=store, run_id="r")
+    assert resumed.converged and resumed.resumed_from == 1
+    got = {r["vid"]: r["label"] for r in resumed.state.collect()}
+    rows = [(r["src"], r["dst"], r["weight"]) for r in e.select("src", "dst", "weight").collect()]
+    assert got == cc_oracle(rows)
+
+
 def test_pagerank_local_mode_matches_csr_and_oracle(spark, tmp_path):
     """scatter_mode='local' (conversation-locality partitioning: adjacency
     edges never shuffle, only tool-hub contributions do) must produce the

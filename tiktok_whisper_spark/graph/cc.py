@@ -190,6 +190,25 @@ def connected_components(
     store = store or CheckpointStore(tempfile.mkdtemp(prefix="twspark_cc_"))
     run_id = run_id or f"cc-{uuid.uuid4().hex[:12]}"
 
+    if scatter_mode == "local":
+        # conversation-locality file supersteps (same machinery as PageRank's
+        # local mode; see cc_local.py) — requires home-keyed edges
+        if "src_home" not in edges.columns or "dst_home" not in edges.columns:
+            raise ValueError(
+                "scatter_mode='local' needs src_home/dst_home locality columns "
+                "(derive edges with include_home=True)"
+            )
+        from .cc_local import cc_local_files
+
+        return cc_local_files(
+            edges,
+            max_iter=max_iter,
+            store=store,
+            run_id=run_id,
+            resume=resume,
+            num_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
+        )
+
     sym = symmetrize(edges)
     pe = prepare_edges(sym, payload=(), num_salts=num_salts, hot_threshold=hot_threshold)
     vertices = sym.select(F.col("src").alias("vid")).distinct().persist()

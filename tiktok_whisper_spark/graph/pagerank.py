@@ -261,7 +261,10 @@ def _rank_path(state_dir: str, pid: int) -> str:
 
 
 def _write_rank_part(state_dir: str, pid: int, ranks: np.ndarray, recycle_dir: str | None) -> None:
-    """Write one partition's rank vector as raw float64, recycling pages.
+    """Write one partition's state vector as raw fixed-width values,
+    recycling pages. Shared by PageRank (float64 ranks) and local-mode
+    connected components (int64 labels — same 8-byte stride, so retired
+    segments recycle across kernels of one run dir too).
 
     Postgres-WAL-style segment recycling: the retired superstep's file (same
     byte size — the vertex set is fixed) is renamed into place and
@@ -277,7 +280,7 @@ def _write_rank_part(state_dir: str, pid: int, ranks: np.ndarray, recycle_dir: s
     pyarrow's FileSystem — atomic per object, no recycling (page reuse is a
     local-FS concept; on s3/gs the bytes dominate and a PUT is the floor).
     """
-    buf = np.ascontiguousarray(ranks, dtype=np.float64)
+    buf = np.ascontiguousarray(ranks)
     path = _rank_path(state_dir, pid)
     if fsio.is_uri(state_dir):
         fsio.write_bytes(path, memoryview(buf).cast("B").tobytes())
@@ -295,14 +298,14 @@ def _write_rank_part(state_dir: str, pid: int, ranks: np.ndarray, recycle_dir: s
         f.truncate(buf.nbytes)
 
 
-def _read_rank_part(state_dir: str, pid: int) -> np.ndarray | None:
+def _read_rank_part(state_dir: str, pid: int, dtype=np.float64) -> np.ndarray | None:
     path = _rank_path(state_dir, pid)
     if fsio.is_uri(state_dir):
         data = fsio.read_bytes(path)
-        return None if data is None else np.frombuffer(data, dtype=np.float64)
+        return None if data is None else np.frombuffer(data, dtype=dtype)
     if not os.path.exists(path):
         return None
-    return np.fromfile(path, dtype=np.float64)
+    return np.fromfile(path, dtype=dtype)
 
 
 def _read_state_part(state_dir: str, pid: int, columns: list[str] | None = None):

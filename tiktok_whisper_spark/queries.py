@@ -878,6 +878,47 @@ def graph_cc_labels(spark, sf_dir):
 
 
 @_register(
+    "graph_cc_local_labels",
+    _SP_EDGES_SQL.replace("WITH ", "WITH RECURSIVE ", 1) + ", "
+    "u AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+    "v AS (SELECT DISTINCT src AS vid FROM u), "
+    "reach(vid, r) AS (SELECT vid, vid FROM v UNION "
+    "SELECT u.dst, reach.r FROM reach JOIN u ON u.src = reach.vid) "
+    "SELECT vid, min(r) AS label FROM reach GROUP BY vid",
+)
+def graph_cc_local_labels(spark, sf_dir):
+    """Connected components through the conversation-locality file-superstep
+    engine (``scatter_mode="local"`` — label segments + hub relay, the
+    10^12-turn scale path shared with PageRank), on the same supplier↔part
+    graph and recursive-CTE oracle as ``graph_cc_labels``. Every vertex is
+    its own home here (bipartite graph), so the run leans hardest on the
+    remote hub relay; the min-label fixpoint is home-assignment-invariant."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 20 == 0)
+    edges = (
+        li.select(
+            (F.col("l_suppkey") * 10 + 1).alias("src"),
+            (F.col("l_partkey") * 10 + 2).alias("dst"),
+        )
+        .distinct()
+        .select(
+            "src", "dst", F.lit(1.0).alias("weight"),
+            F.col("src").alias("src_home"), F.col("dst").alias("dst_home"),
+        )
+    )
+    store = CheckpointStore(tempfile.mkdtemp(prefix="twspark_q_ccl_"))
+    run = connected_components(
+        edges, scatter_mode="local", store=store, resume=False, max_iter=100
+    )
+    if not run.converged:
+        raise RuntimeError(
+            f"local-mode connected_components did not converge within {run.supersteps} supersteps"
+        )
+    out = run.state.select("vid", "label").localCheckpoint()
+    shutil.rmtree(store.root, ignore_errors=True)
+    return out
+
+
+@_register(
     "graph_cc_star_labels",
     _SP_EDGES_SQL.replace("WITH ", "WITH RECURSIVE ", 1) + ", "
     "u AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
