@@ -4,8 +4,9 @@ Prints ONE compact JSON line (kept < 1.6 KB so the harness's stdout tail
 always captures it whole):
   {"metric": "...", "value": <edges/sec>, "unit": "edges/sec",
    "total_sec": <wall>, "queries": {name: sec, ...}, "sf": <sf>,
-   "edges_per_sec": N, "scaling_efficiency": e, "scaling_pair": [1, 4],
-   "scaling_efficiency_hi": e2, "scaling_pair_hi": [8, 32]}
+   "edges_per_sec": N, "cc_edges_per_sec": N2, "scaling_efficiency": e,
+   "scaling_pair": [1, 4], "scaling_efficiency_hi": e2,
+   "scaling_pair_hi": [8, 32]}
 Per-parallelism-level pagerank detail: BENCH/pagerank_levels.json +
 BENCH/BASELINE.md.
 
@@ -130,6 +131,95 @@ print("BENCH_RESULT " + json.dumps({{
 """
 
 
+_CC_CHILD = """
+import json, statistics, sys, time
+sys.path.insert(0, {repo!r})
+import os
+os.environ["SPARK_GRAFT_MASTER"] = "local[{cores}]"
+os.environ.setdefault("SPARK_GRAFT_CKPT_CODEC", "none")
+from tiktok_whisper_spark.session import get_spark
+spark = get_spark(app_name="twspark-bench-cc-{cores}", master="local[{cores}]",
+                  shuffle_partitions={partitions}, driver_memory={mem!r})
+from tiktok_whisper_spark.graph import connected_components
+from tiktok_whisper_spark.sources.catalog import CheckpointStore
+edges = spark.read.parquet({edges_path!r})
+# same store + run_id as the pagerank rows: min-label ignores edge weights,
+# so the normalized shards and static vertex files are reused as-is
+store = CheckpointStore({edges_path!r} + "_store")
+t0 = time.monotonic()
+run = connected_components(edges, scatter_mode="local", store=store,
+                           run_id="bench", resume=False, max_iter=100)
+total = time.monotonic() - t0
+walls = [m["wall_ms"] / 1000.0 for m in run.metrics if m["superstep"] >= 2]
+med = statistics.median(walls)
+m = run.metrics[-1]
+print("BENCH_RESULT " + json.dumps({{
+    "cores": {cores}, "n_vertices": m["n_vertices"], "n_edges": m["edges_processed"],
+    "supersteps": run.supersteps, "converged": run.converged,
+    "total_sec": round(total, 2), "superstep_sec_median": round(med, 3),
+    "edges_per_sec_median": round(m["edges_processed"] / med, 1),
+}}))
+"""
+
+
+_LPA_CHILD = """
+import json, statistics, sys, time
+sys.path.insert(0, {repo!r})
+import os
+os.environ["SPARK_GRAFT_MASTER"] = "local[{cores}]"
+os.environ.setdefault("SPARK_GRAFT_CKPT_CODEC", "none")
+# the hub-vote relation is ~|remote edges| rows while labels are diverse;
+# spill must go to disk, not tmpfs, or it competes with the stores for RAM
+os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/tmp/twspark-lpa-local")
+from tiktok_whisper_spark.session import get_spark
+spark = get_spark(app_name="twspark-bench-lpa-{cores}", master="local[{cores}]",
+                  shuffle_partitions={partitions}, driver_memory="12g")
+from tiktok_whisper_spark.graph import label_propagation
+from tiktok_whisper_spark.sources.catalog import CheckpointStore
+edges = spark.read.parquet({edges_path!r})
+store = CheckpointStore({edges_path!r} + "_lpa_store")
+t0 = time.monotonic()
+run = label_propagation(edges, scatter_mode="local", store=store,
+                        run_id="bench", resume=False, max_iter={steps})
+total = time.monotonic() - t0
+walls = [m["wall_ms"] / 1000.0 for m in run.metrics if m["superstep"] >= 2]
+med = statistics.median(walls)
+m = run.metrics[-1]
+print("BENCH_RESULT " + json.dumps({{
+    "cores": {cores}, "n_vertices": m["n_vertices"], "n_edges": m["edges_processed"],
+    "supersteps": run.supersteps, "converged": run.converged,
+    "total_sec": round(total, 2), "superstep_sec_median": round(med, 3),
+    "edges_per_sec_median": round(m["edges_processed"] / med, 1),
+}}))
+"""
+
+
+def _run_lpa_subprocess(cores: int, edges_path: str, steps: int = 4) -> dict:
+    code = _LPA_CHILD.format(
+        repo=os.path.dirname(os.path.abspath(__file__)),
+        cores=cores, partitions=PARTITIONS, edges_path=edges_path, steps=steps,
+    )
+    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCH_RESULT "):
+            return json.loads(line[len("BENCH_RESULT "):])
+    raise RuntimeError(f"lpa subprocess (cores={cores}) failed:\n{out.stderr[-3000:]}")
+
+
+def _run_cc_subprocess(cores: int, edges_path: str) -> dict:
+    code = _CC_CHILD.format(
+        repo=os.path.dirname(os.path.abspath(__file__)),
+        cores=cores, partitions=PARTITIONS, edges_path=edges_path, mem=BENCH_MEM,
+    )
+    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCH_RESULT "):
+            return json.loads(line[len("BENCH_RESULT "):])
+    raise RuntimeError(f"cc subprocess (cores={cores}) failed:\n{out.stderr[-3000:]}")
+
+
 def _run_pagerank_subprocess(cores: int, edges_path: str, tol: float, max_iter: int) -> dict:
     code = _CHILD.format(
         repo=os.path.dirname(os.path.abspath(__file__)),
@@ -210,7 +300,12 @@ def write_baseline_md(pr_results: list[dict], eff: float | None, eff_hi: float |
         "",
         f"Graph: deterministic synthetic transcripts (seed=42, {N_CONVS:,} convs) → "
         "turn-adjacency + turn→tool edges (Zipf tool hubs; ~26 turns/conv). PageRank "
-        "damping 0.85, float64, dangling-mass redistribution, "
+        "damping 0.85, float64, dangling-mass redistribution; connected components = "
+        "min-label to the exact fixpoint; LPA = synchronous weighted votes (its "
+        "hub-vote relation is inherently ~|remote edges| rows while labels are "
+        "diverse — aggregated in Spark, never through the driver — so its "
+        "edges/sec floor is vote-bound, unlike the scalar-exchange kernels). "
+        "All kernels run "
         "`scatter_mode=\"local\"` (conversation-locality file supersteps). Durable "
         "per-superstep checkpoints (rank vector + metrics + per-partition lineage, "
         "cadence 1) are the superstep output itself — every reported superstep "
@@ -321,9 +416,17 @@ def main() -> None:
             eff_hi = hi["edges_per_sec_median"] / (4 * mid["edges_per_sec_median"])
             pair_hi = [CPUS // 4, CPUS]
 
+    print(f"connected components (local mode) @ {CPUS} pinned cores...", file=sys.stderr)
+    cc = _run_cc_subprocess(CPUS, edges_path)
+    cc["job"] = "CC min-label to fixpoint"
+
+    print(f"label propagation (local mode) @ {CPUS} pinned cores...", file=sys.stderr)
+    lpa = _run_lpa_subprocess(CPUS, edges_path, steps=4)
+    lpa["job"] = "LPA 4 fixed supersteps"
+
     print("relational/vector queries...", file=sys.stderr)
     qtimes = bench_queries()
-    write_baseline_md(pr_results, eff, eff_hi, pair_hi)
+    write_baseline_md(pr_results + [cc, lpa], eff, eff_hi, pair_hi)
 
     # the per-level pagerank detail goes to a sidecar file, NOT the stdout
     # JSON: round 3's single line (4 pagerank entries + 16 query timings)
@@ -331,8 +434,8 @@ def main() -> None:
     # "parsed": null — the final line must stay compact
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/pagerank_levels.json", "w") as f:
-        json.dump({"pagerank": pr_results, "partitions": PARTITIONS,
-                   "n_convs": N_CONVS}, f, indent=1)
+        json.dump({"pagerank": pr_results, "cc": cc, "lpa": lpa,
+                   "partitions": PARTITIONS, "n_convs": N_CONVS}, f, indent=1)
     result = {
         "metric": "edges/sec per superstep (PageRank to 1e-6, transcript graph)",
         "value": hi["edges_per_sec_median"],
@@ -341,6 +444,8 @@ def main() -> None:
         "queries": qtimes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "edges_per_sec": hi["edges_per_sec_median"],
+        "cc_edges_per_sec": cc["edges_per_sec_median"],
+        "lpa_edges_per_sec": lpa["edges_per_sec_median"],
         "scaling_efficiency": round(eff, 3) if eff is not None else None,
         "scaling_pair": [SCALE_LOW, SCALE_HIGH],
         "scaling_efficiency_hi": round(eff_hi, 3) if eff_hi is not None else None,

@@ -179,6 +179,63 @@ def test_cc_local_mode_kill_resume(spark, tmp_path):
     assert got == cc_oracle(rows)
 
 
+def test_lpa_local_mode_matches_dataframe_and_oracle(spark, tmp_path):
+    """scatter_mode='local' LPA must reproduce the DataFrame path's labels
+    EXACTLY — synchronous updates, weighted votes, max-then-min tie-break —
+    including hubs, whose winners are decided by an in-Spark vote
+    aggregation (the (hub × label) relation never reaches the driver)."""
+    from tiktok_whisper_spark.operators.edges import turn_adjacency_edges, turn_tool_edges
+    from tiktok_whisper_spark.sources.catalog import CheckpointStore
+
+    t = datagen.transcripts(spark, n_convs=60, seed=7)
+    e = (
+        turn_adjacency_edges(t, include_home=True)
+        .unionByName(turn_tool_edges(t, include_home=True))
+        .localCheckpoint()
+    )
+    for iters in (2, 10):
+        run_l = label_propagation(
+            e, scatter_mode="local", max_iter=iters,
+            store=CheckpointStore(str(tmp_path / f"lpa_local_{iters}")), resume=False,
+        )
+        run_df = label_propagation(
+            e.select("src", "dst", "weight"), max_iter=iters, checkpoint_every=10,
+        )
+        got = {r["vid"]: r["label"] for r in run_l.state.collect()}
+        want = {r["vid"]: r["label"] for r in run_df.state.collect()}
+        assert got == want, f"divergence at max_iter={iters}"
+        assert run_l.supersteps == run_df.supersteps
+        assert run_l.converged == run_df.converged
+    triples = [(r["src"], r["dst"], r["weight"]) for r in e.select("src", "dst", "weight").collect()]
+    assert got == lpa_oracle(triples, max_iter=10)
+
+
+def test_lpa_local_mode_kill_resume(spark, tmp_path):
+    from tiktok_whisper_spark.operators.edges import turn_adjacency_edges, turn_tool_edges
+    from tiktok_whisper_spark.sources.catalog import CheckpointStore
+
+    t = datagen.transcripts(spark, n_convs=40, seed=9)
+    e = (
+        turn_adjacency_edges(t, include_home=True)
+        .unionByName(turn_tool_edges(t, include_home=True))
+        .localCheckpoint()
+    )
+    store = CheckpointStore(str(tmp_path / "lpa_resume"))
+    partial = label_propagation(
+        e, scatter_mode="local", store=store, run_id="r", resume=False, max_iter=1
+    )
+    assert partial.supersteps == 1
+    resumed = label_propagation(e, scatter_mode="local", store=store, run_id="r", max_iter=10)
+    assert resumed.resumed_from == 1
+    fresh = label_propagation(
+        e, scatter_mode="local", store=CheckpointStore(str(tmp_path / "lpa_fresh")),
+        resume=False, max_iter=10,
+    )
+    got = {r["vid"]: r["label"] for r in resumed.state.collect()}
+    want = {r["vid"]: r["label"] for r in fresh.state.collect()}
+    assert got == want
+
+
 def test_pagerank_local_mode_matches_csr_and_oracle(spark, tmp_path):
     """scatter_mode='local' (conversation-locality partitioning: adjacency
     edges never shuffle, only tool-hub contributions do) must produce the

@@ -38,6 +38,7 @@ def label_propagation(
     store: CheckpointStore | None = None,
     run_id: str | None = None,
     resume: bool = True,
+    scatter_mode: str = "arrow",
     num_salts: int = 8,
     hot_threshold: int | None = None,
     checkpoint_every: int = 1,
@@ -45,11 +46,29 @@ def label_propagation(
     """Deterministic synchronous LPA over weighted ``edges(src, dst, weight)``.
 
     Returns a :class:`GraphRun` whose ``state`` has
-    ``(vid:long, label:long, prev_label:long)``.
+    ``(vid:long, label:long, prev_label:long)`` (``vid, home, label`` in
+    ``scatter_mode="local"``).
     """
     spark: SparkSession = edges.sparkSession
     store = store or CheckpointStore(tempfile.mkdtemp(prefix="twspark_lpa_"))
     run_id = run_id or f"lpa-{uuid.uuid4().hex[:12]}"
+
+    if scatter_mode == "local":
+        if "src_home" not in edges.columns or "dst_home" not in edges.columns:
+            raise ValueError(
+                "scatter_mode='local' needs src_home/dst_home locality columns "
+                "(derive edges with include_home=True)"
+            )
+        from .lpa_local import lpa_local_files
+
+        return lpa_local_files(
+            edges,
+            max_iter=max_iter,
+            store=store,
+            run_id=run_id,
+            resume=resume,
+            num_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
+        )
 
     # Symmetrize with weights: vote strength of u on v = total weight of
     # edges between them in either direction.

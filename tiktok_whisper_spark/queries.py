@@ -1256,6 +1256,50 @@ def graph_lpa_2iter(spark, sf_dir):
 
 
 @_register(
+    "graph_lpa_local_2iter",
+    _LPA_EDGES_SQL + ", "
+    "s AS (SELECT src, dst, sum(w) AS w FROM "
+    "(SELECT src, dst, w FROM e UNION ALL SELECT dst AS src, src AS dst, w FROM e) "
+    "GROUP BY 1, 2), "
+    "l1 AS (SELECT vid, label FROM (SELECT dst AS vid, src AS label, "
+    "row_number() OVER (PARTITION BY dst ORDER BY w DESC, src ASC) AS rn FROM s) WHERE rn = 1), "
+    "v2 AS (SELECT s.dst AS vid, l1.label AS label, sum(s.w) AS votes FROM s "
+    "JOIN l1 ON l1.vid = s.src GROUP BY 1, 2), "
+    "l2 AS (SELECT vid, label FROM (SELECT vid, label, row_number() OVER "
+    "(PARTITION BY vid ORDER BY votes DESC, label ASC) AS rn FROM v2) WHERE rn = 1) "
+    "SELECT vid, label FROM l2",
+)
+def graph_lpa_local_2iter(spark, sf_dir):
+    """The same two synchronous LPA supersteps through the
+    conversation-locality file-superstep engine (``scatter_mode="local"`` —
+    label segments, in-Spark hub-vote argmax; the 10^12-turn scale path),
+    against the identical chained-window-CTE oracle as ``graph_lpa_2iter``.
+    Every vertex is its own home on this bipartite graph, so the run leans
+    entirely on the hub vote relay — the hardest case for synchrony."""
+    from .graph import label_propagation
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 20 == 0)
+    edges = (
+        li.groupBy(
+            (F.col("l_suppkey") * 10 + 1).alias("src"),
+            (F.col("l_partkey") * 10 + 2).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+        .select(
+            "src", "dst", "weight",
+            F.col("src").alias("src_home"), F.col("dst").alias("dst_home"),
+        )
+    )
+    store = CheckpointStore(tempfile.mkdtemp(prefix="twspark_q_lpal_"))
+    run = label_propagation(
+        edges, scatter_mode="local", max_iter=2, store=store, resume=False
+    )
+    out = run.state.select("vid", "label").localCheckpoint()
+    shutil.rmtree(store.root, ignore_errors=True)
+    return out
+
+
+@_register(
     "graph_cluster_edges",
     "WITH m AS (SELECT label AS cluster, vec_id AS id, "
     "row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1 AS i, "
