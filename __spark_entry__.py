@@ -53,8 +53,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins. Keys missing here
     (``graph_lpa_communities``, ``vector_kmeans_sizes``) are iterative
-    run-to-convergence ops that aren't ANSI-SQL-expressible; each has a green
-    SQL-expressible companion (``graph_lpa_1iter``/``graph_lpa_2iter``,
-    ``vector_centroid_assign``) and pytest verifies the full runs against
+    run-to-convergence ops that aren't ANSI-SQL-expressible; each has green
+    SQL-expressible companions covering the full recursion
+    (``graph_lpa_1iter``/``graph_lpa_2iter``/``graph_lpa_local_2iter``,
+    ``vector_centroid_assign``/``vector_kmeans_10iter`` — the latter unrolls
+    all 10 Lloyd iterations) and pytest verifies the full seeded runs against
     NumPy/pure-Python oracles instead."""
     return dict(Q.ORACLE_SQL)

@@ -420,13 +420,15 @@ def main() -> None:
     cc = _run_cc_subprocess(CPUS, edges_path)
     cc["job"] = "CC min-label to fixpoint"
 
-    print(f"label propagation (local mode) @ {CPUS} pinned cores...", file=sys.stderr)
-    lpa = _run_lpa_subprocess(CPUS, edges_path, steps=4)
-    lpa["job"] = "LPA 4 fixed supersteps"
+    lpa = None
+    if os.environ.get("SPARK_GRAFT_BENCH_LPA", "1") != "0":
+        print(f"label propagation (local mode) @ {CPUS} pinned cores...", file=sys.stderr)
+        lpa = _run_lpa_subprocess(CPUS, edges_path, steps=4)
+        lpa["job"] = "LPA 4 fixed supersteps"
 
     print("relational/vector queries...", file=sys.stderr)
     qtimes = bench_queries()
-    write_baseline_md(pr_results + [cc, lpa], eff, eff_hi, pair_hi)
+    write_baseline_md(pr_results + [cc] + ([lpa] if lpa else []), eff, eff_hi, pair_hi)
 
     # the per-level pagerank detail goes to a sidecar file, NOT the stdout
     # JSON: round 3's single line (4 pagerank entries + 16 query timings)
@@ -445,7 +447,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "edges_per_sec": hi["edges_per_sec_median"],
         "cc_edges_per_sec": cc["edges_per_sec_median"],
-        "lpa_edges_per_sec": lpa["edges_per_sec_median"],
+        "lpa_edges_per_sec": lpa["edges_per_sec_median"] if lpa else None,
         "scaling_efficiency": round(eff, 3) if eff is not None else None,
         "scaling_pair": [SCALE_LOW, SCALE_HIGH],
         "scaling_efficiency_hi": round(eff_hi, 3) if eff_hi is not None else None,
