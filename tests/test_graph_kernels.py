@@ -155,6 +155,45 @@ def test_cc_local_mode_matches_dataframe_and_oracle(spark, tmp_path):
     assert all(m["n_vertices"] == len(got) for m in run_l.metrics)
 
 
+def test_cc_lpa_local_mode_via_file_uri(spark, tmp_path, monkeypatch):
+    """CC and LPA local modes share PageRank's durable-IO helpers — a
+    ``file://`` root drives their label segments, alignments (node-local
+    cache), and manifests through pyarrow's FileSystem API; labels must
+    match plain local-path runs exactly."""
+    from tiktok_whisper_spark.operators.edges import turn_adjacency_edges, turn_tool_edges
+    from tiktok_whisper_spark.sources.catalog import CheckpointStore
+
+    monkeypatch.setenv("TWSPARK_SHARD_CACHE", str(tmp_path / "nodelocal"))
+    t = datagen.transcripts(spark, n_convs=40, seed=5)
+    e = (
+        turn_adjacency_edges(t, include_home=True)
+        .unionByName(turn_tool_edges(t, include_home=True))
+        .localCheckpoint()
+    )
+    cc_uri = connected_components(
+        e, scatter_mode="local",
+        store=CheckpointStore(f"file://{tmp_path}/cc_uri"), resume=False,
+    )
+    cc_path = connected_components(
+        e, scatter_mode="local",
+        store=CheckpointStore(str(tmp_path / "cc_path")), resume=False,
+    )
+    assert cc_uri.converged and cc_path.converged
+    gu = {r["vid"]: r["label"] for r in cc_uri.state.collect()}
+    assert gu == {r["vid"]: r["label"] for r in cc_path.state.collect()}
+    lpa_uri = label_propagation(
+        e, scatter_mode="local", max_iter=3,
+        store=CheckpointStore(f"file://{tmp_path}/lpa_uri"), resume=False,
+    )
+    lpa_path = label_propagation(
+        e, scatter_mode="local", max_iter=3,
+        store=CheckpointStore(str(tmp_path / "lpa_path")), resume=False,
+    )
+    lu = {r["vid"]: r["label"] for r in lpa_uri.state.collect()}
+    assert lu == {r["vid"]: r["label"] for r in lpa_path.state.collect()}
+    assert list((tmp_path / "cc_uri").glob("*/superstep=*/state/rank-*.f64"))
+
+
 def test_cc_local_mode_kill_resume(spark, tmp_path):
     """A cc run killed mid-algorithm resumes from the last committed
     superstep and still reaches the oracle fixpoint."""
