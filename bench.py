@@ -342,7 +342,14 @@ def write_baseline_md(pr_results: list[dict], eff: float | None, eff_hi: float |
                 "below), so it measures the sandbox's DRAM wall, not the "
                 "engine's cross-executor scaling.",
             ]
-        lines += [""]
+        lines += [
+            "",
+            "Single-draw caveat: repeated runs of the identical code/input "
+            "measured the headline pair between 0.85 and 0.95 on this VM "
+            "(the 4-core superstep median moves ±5-10% with machine state); "
+            "the number above is one draw of that distribution, not a mean.",
+            "",
+        ]
     lines += [
         "## Machine roofline (why the N→4N proxy is the pinned pair, measured)",
         "",

@@ -185,3 +185,27 @@ def test_tpch_q1_wholestage_codegen(spark, sf_dir):
     assert explain.wholestage_codegen_spans(df) >= 1
     # the shipdate filter reaches the scan
     assert "l_shipdate" in explain.pushed_filters(df)
+
+
+def test_worker_zipimport_patch_active(spark):
+    """The per-task floor fix must actually engage: local sessions select the
+    pyspark_tw_worker module, and inside a (reused) worker the 3.12-backported
+    mtime guard has replaced CPython ≤3.11's unconditional zip directory
+    re-read (~125 ms/task measured without it — the dominant fixed cost of
+    every python job on this interpreter)."""
+    import sys
+
+    sc = spark.sparkContext
+    assert sc.getConf().get("spark.python.worker.module", "") == "pyspark_tw_worker"
+
+    def probe(it):
+        import zipimport
+
+        list(it)
+        return [zipimport.zipimporter.invalidate_caches.__name__]
+
+    (name,) = sc.runJob(sc.parallelize([0], 1), probe)
+    if sys.version_info < (3, 12):
+        assert name == "_invalidate_if_changed"
+    else:  # upstream already guards; the shim is a pass-through
+        assert name == "invalidate_caches"
