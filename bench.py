@@ -430,8 +430,9 @@ def main() -> None:
     lpa = None
     if os.environ.get("SPARK_GRAFT_BENCH_LPA", "1") != "0":
         print(f"label propagation (local mode) @ {CPUS} pinned cores...", file=sys.stderr)
-        lpa = _run_lpa_subprocess(CPUS, edges_path, steps=4)
-        lpa["job"] = "LPA 4 fixed supersteps"
+        steps = int(os.environ.get("SPARK_GRAFT_BENCH_LPA_STEPS", "3"))
+        lpa = _run_lpa_subprocess(CPUS, edges_path, steps=steps)
+        lpa["job"] = f"LPA {steps} fixed supersteps"
 
     print("relational/vector queries...", file=sys.stderr)
     qtimes = bench_queries()
