@@ -451,3 +451,126 @@ def test_transcript_graph_all_kernels(spark, transcript_edges):
     want_total, want_pv = triangle_oracle(rows)
     assert tri.total == want_total
     assert {r["vid"]: r["triangles"] for r in tri.per_vertex.collect()} == want_pv
+
+
+def test_lpa_local_mode_bidirectional_cross_home_edges(spark, tmp_path):
+    """Cross-partition vertex pairs with directed edges in BOTH orientations
+    and unequal weights: lpa.py symmetrizes so vote(u,v) = w_fwd + w_rev;
+    local mode must report the gather-direction remote votes on owned hubs
+    too, or each hub's winner sees only one direction's weight (round-4
+    advisory, HIGH — verified live: vertex 1 flipped to label 3)."""
+    from tiktok_whisper_spark.sources.catalog import CheckpointStore
+
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # pick home keys that land on three DISTINCT shard partitions so every
+    # edge below is cross-partition (remote) in local mode
+    probe = spark.range(64).select(
+        F.col("id"), F.pmod(F.hash(F.col("id")), F.lit(P)).alias("pid")
+    ).collect()
+    by_pid: dict[int, int] = {}
+    for r in probe:
+        by_pid.setdefault(int(r["pid"]), int(r["id"]))
+        if len(by_pid) >= 3:
+            break
+    homes = list(by_pid.values())[:3]
+    assert len(homes) == 3
+    home = {1: homes[0], 2: homes[1], 3: homes[2]}
+    triples = [(1, 2, 5.0), (2, 1, 1.0), (3, 1, 3.0)]
+    rows = [(s, d, w, home[s], home[d]) for s, d, w in triples]
+    e = spark.createDataFrame(
+        rows, "src long, dst long, weight double, src_home long, dst_home long"
+    )
+    for iters in (1, 3):
+        run_l = label_propagation(
+            e, scatter_mode="local", max_iter=iters,
+            store=CheckpointStore(str(tmp_path / f"bidir_{iters}")), resume=False,
+        )
+        got = {r["vid"]: r["label"] for r in run_l.state.collect()}
+        run_df = label_propagation(
+            e.select("src", "dst", "weight"), max_iter=iters, checkpoint_every=10,
+        )
+        want = {r["vid"]: r["label"] for r in run_df.state.collect()}
+        assert got == want, f"divergence at max_iter={iters}: {got} != {want}"
+    assert got == lpa_oracle(triples, max_iter=3)
+    # superstep 1 ground truth: votes on vertex 1 are label-2 (w 5+1=6) and
+    # label-3 (w 3) -> vertex 1 must take label 2, not 3
+    run1 = label_propagation(
+        e, scatter_mode="local", max_iter=1,
+        store=CheckpointStore(str(tmp_path / "bidir_check")), resume=False,
+    )
+    l1 = {r["vid"]: r["label"] for r in run1.state.collect()}
+    assert l1[1] == 2
+
+
+def test_local_mode_shard_weight_semantics_gate(spark, tmp_path):
+    """Sharing one store+run_id across kernels must never reuse shards whose
+    p slot carries the wrong weight semantics (round-4 advisory, MEDIUM):
+    PageRank writes normalized probabilities, CC constant 1.0, LPA raw
+    summed weights. The meta gate purges and rewrites on mismatch; CC (which
+    ignores weights) may warm any layout."""
+    from tiktok_whisper_spark.sources.catalog import CheckpointStore
+
+    t = datagen.transcripts(spark, n_convs=30, seed=11)
+    from tiktok_whisper_spark.operators.edges import turn_adjacency_edges, turn_tool_edges
+
+    e = (
+        turn_adjacency_edges(t, include_home=True)
+        .unionByName(turn_tool_edges(t, include_home=True))
+        .localCheckpoint()
+    )
+    store = CheckpointStore(str(tmp_path / "shared"))
+    # 1) PageRank warms the dir with normalized shards
+    pr = pagerank(e, tol=1e-8, max_iter=30, store=store, run_id="shared",
+                  resume=False, scatter_mode="local")
+    assert pr.converged
+    # 2) LPA under the SAME store+run_id must NOT vote with normalized
+    #    probabilities — the gate purges and rewrites raw shards
+    lpa_shared = label_propagation(
+        e, scatter_mode="local", max_iter=4, store=store, run_id="shared",
+        resume=False,
+    )
+    lpa_fresh = label_propagation(
+        e, scatter_mode="local", max_iter=4,
+        store=CheckpointStore(str(tmp_path / "fresh")), resume=False,
+    )
+    got = {r["vid"]: r["label"] for r in lpa_shared.state.collect()}
+    want = {r["vid"]: r["label"] for r in lpa_fresh.state.collect()}
+    assert got == want
+    # 3) PageRank back on the now-raw dir: gate purges again, ranks match a
+    #    fresh run exactly (identical deterministic pipeline)
+    pr2 = pagerank(e, tol=1e-8, max_iter=30, store=store, run_id="shared",
+                   resume=False, scatter_mode="local")
+    pr_fresh = pagerank(e, tol=1e-8, max_iter=30,
+                        store=CheckpointStore(str(tmp_path / "prfresh")),
+                        resume=False, scatter_mode="local")
+    r2 = {r["vid"]: r["rank"] for r in pr2.state.collect()}
+    rf = {r["vid"]: r["rank"] for r in pr_fresh.state.collect()}
+    assert r2 == rf
+
+
+def test_triangles_hub_split_matches_plain(spark):
+    """The heavy-hitter wedge path (broadcast hub adjacency + explode) must
+    count exactly what the plain wedge join counts — per vertex too. A
+    star-plus-cliques graph forces a hot center at threshold 0 and mixes
+    hot/cold centers at threshold 2."""
+    import itertools
+
+    triples = []
+    # hub 0 connected to 1..12 (oriented out-degree concentrates somewhere)
+    for i in range(1, 13):
+        triples.append((0, i, 1.0))
+    # triangles through the hub: close some spokes
+    for i in range(1, 12, 2):
+        triples.append((i, i + 1, 1.0))
+    # a separate K4 (cold centers)
+    for a, b in itertools.combinations(range(20, 24), 2):
+        triples.append((a, b, 1.0))
+    df = _edges_df(spark, triples)
+    plain = triangle_counts(df, hub_split=False)
+    want_total, want_pv = triangle_oracle(triples)
+    assert plain.total == want_total
+    for thr in (0, 2, None):
+        split = triangle_counts(df, hub_split=True, hub_threshold=thr)
+        assert split.total == want_total, f"threshold={thr}"
+        got_pv = {r["vid"]: r["triangles"] for r in split.per_vertex.collect()}
+        assert got_pv == want_pv, f"threshold={thr}"

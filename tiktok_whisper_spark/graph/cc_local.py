@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from ..sources import fsio
 from ..sources.catalog import CheckpointStore
 from .runner import GraphRun
-from .scatter import _load_shard_split, write_edge_shards_local
+from .scatter import _load_shard_split, purge_shard_dir, write_edge_shards_local
 from .pagerank import (
     _part_path,  # noqa: F401  (shared layout)
     _read_rank_part,
@@ -160,15 +160,19 @@ def _compile_cc_aligned(static_dir: str, sd: str, pid: int, cdir: str) -> bool:
 
 
 def _load_cc_aligned(static_dir: str, sd: str, pid: int):
+    from .scatter import compiled_generation
+
     key = (static_dir, pid)
-    if key in _CC_CACHE:
-        return _CC_CACHE[key]
+    cdir = _cc_cdir(static_dir, pid)
+    cached = _CC_CACHE.get(key)
+    if cached is not None and cached[0] == compiled_generation(cdir):
+        # generation-checked hit: init's rmtree+recompile republishes _OK
+        # with a fresh inode, so a stale mmap is never served
+        return cached[1]
     for stale in [k for k in _CC_CACHE if k[0] != static_dir]:
         del _CC_CACHE[stale]
-    cdir = _cc_cdir(static_dir, pid)
     if not os.path.exists(os.path.join(cdir, "_OK")):
         if not _compile_cc_aligned(static_dir, sd, pid, cdir):
-            _CC_CACHE[key] = None
             return None
     ent = {
         "vids": np.load(os.path.join(cdir, "vids.npy"), mmap_mode="r"),
@@ -177,7 +181,7 @@ def _load_cc_aligned(static_dir: str, sd: str, pid: int):
     for name in _CC_OPT:
         path = os.path.join(cdir, f"{name}.npy")
         ent[name] = np.load(path, mmap_mode="r") if os.path.exists(path) else None
-    _CC_CACHE[key] = ent
+    _CC_CACHE[key] = (compiled_generation(cdir), ent)
     return ent
 
 
@@ -270,9 +274,17 @@ def _cc_local_files_inner(
     static_meta = os.path.join(static_dir, "_META.json")
     vertices = None
     meta = fsio.read_json(static_meta) if fsio.exists(os.path.join(shard_dir, "_DONE")) else None
+    # min-label ignores the shard p slot, so ANY kernel's warm shards are
+    # reusable (norm/unit/raw) — the gate only requires the sorted layout
     if meta is not None and meta.get("sorted"):
         n, num_edges = int(meta["n"]), int(meta["num_edges"])
     else:
+        if fsio.exists(os.path.join(shard_dir, "_DONE")):
+            # shards of unknown provenance (meta missing or pre-sorted
+            # layout): purge rather than trust — a stale _DONE must never
+            # gate out the rewrite
+            purge_shard_dir(shard_dir)
+            purge_shard_dir(static_dir)
         # no groupBy/distinct prep: duplicate directed edges are idempotent
         # under min, so shards are written straight from the edge table
         e = edges.select(
@@ -455,7 +467,8 @@ def _cc_local_files_inner(
                 .collect()
             )
             fsio.write_json_atomic(
-                static_meta, {"n": n, "num_edges": num_edges, "P": P, "sorted": True}
+                static_meta,
+                {"n": n, "num_edges": num_edges, "P": P, "sorted": True, "weights": "unit"},
             )
         else:
             rows = pids.mapInPandas(init_warm, schema=_CC_SCHEMA).collect()

@@ -14,15 +14,19 @@ EXACTLY — synchronous, weighted, max-votes-then-min-label):
   winner sees ALL its votes in one summation;
 * votes ON a hub aggregate across partitions — and UNLIKE PageRank/CC's
   per-hub scalar exchange, hub votes are ``(hub × label)``-cardinality
-  (≈ one pair per remote edge while labels are still distinct), so they
-  must NEVER flow through the driver. The fused task output is
-  localCheckpoint-ed and the winners are computed IN SPARK (groupBy(h, l)
-  sum + per-hub row_number window, exactly ``lpa.py``'s total order);
-  only the ≤ #hubs winner rows are collected. Crucially the partition
-  OWNING a hub also reports its partition-local votes on that hub
-  (pid-collision locals), so the argmax sees the complete vote multiset —
-  a missed local vote would silently flip a winner and diverge from the
-  DataFrame path;
+  (≈ one triple per remote edge while labels are still distinct), so they
+  must NEVER flow through the driver OR through a row-oriented shuffle.
+  The exchange is file supersteps all the way down: each task writes its
+  raw vote triples into P hub-sliced binary segments (slot = hub-index
+  mod P, superstep-stamped, atomic publish), and a second tiny job's task
+  j reads slice j of every partition's segment, resolves winners with one
+  pandas groupby + stable sort (exactly ``lpa.py``'s total order), and
+  returns only the ≤ #hubs winner rows to the driver. Nothing edge-sized
+  crosses Arrow, the JVM, or a Spark shuffle. Crucially the partition
+  OWNING a hub reports that hub's COMPLETE incident-vote multiset share:
+  its local-edge votes AND the gather-direction votes of its own remote
+  edges (see ``_votes_on_hubs``) — a missed vote would silently flip a
+  winner and diverge from the DataFrame path;
 * strict synchrony is preserved: labels_k are computed from labels_{k-1}
   everywhere; hub labels for superstep k were decided by votes reported out
   of superstep k-1. Init is two-phase — the first job writes labels_0 and
@@ -30,11 +34,12 @@ EXACTLY — synchronous, weighted, max-votes-then-min-label):
   report from labels_0 with that universe known — so superstep 1's winners
   include owner-local votes too.
 
-Float caveat: hub vote sums reduce partition-partials-then-driver, the
-DataFrame path reduces through Spark partial aggregation — both are
-two-level float64 sums, but the grouping differs, so a *fractional*-weight
-graph whose top-two vote sums differ by < 1 ulp could tie-break differently.
-Integer-valued weights (this engine's transcript graphs) are exact.
+Float caveat: hub vote sums reduce per winner-slot via one pandas groupby
+over partition-ordered triples, the DataFrame path reduces through Spark
+partial aggregation — both are float64 sums, but the grouping differs, so
+a *fractional*-weight graph whose top-two vote sums differ by < 1 ulp
+could tie-break differently. Integer-valued weights (this engine's
+transcript graphs) are exact.
 """
 
 from __future__ import annotations
@@ -52,7 +57,12 @@ from pyspark.sql import functions as F
 from ..sources import fsio
 from ..sources.catalog import CheckpointStore
 from .runner import GraphRun
-from .scatter import _load_shard_split, write_edge_shards_local
+from .scatter import (
+    _load_shard_split,
+    compiled_generation,
+    purge_shard_dir,
+    write_edge_shards_local,
+)
 from .pagerank import (
     _read_rank_part,
     _read_state_part,
@@ -64,7 +74,7 @@ from .pagerank import (
 
 __all__ = ["lpa_local_files"]
 
-_LPA_SCHEMA = "pid int, n_rows long, checksum long, changed long, h long, l long, w double"
+_LPA_SCHEMA = "pid int, n_rows long, checksum long, changed long, h long"
 
 _LPA_OPT = ("l_to", "l_from", "l_w", "r_src_pos", "r_hubcode", "r_w", "r_dst_uniq")
 
@@ -141,14 +151,16 @@ def _compile_lpa_aligned(static_dir: str, sd: str, pid: int, cdir: str) -> bool:
 
 def _load_lpa_aligned(static_dir: str, sd: str, pid: int):
     key = (static_dir, pid)
-    if key in _LPA_CACHE:
-        return _LPA_CACHE[key]
+    cdir = _lpa_cdir(static_dir, pid)
+    cached = _LPA_CACHE.get(key)
+    if cached is not None and cached[0] == compiled_generation(cdir):
+        # generation-checked hit: init's rmtree+recompile republishes _OK
+        # with a fresh inode, so a stale mmap is never served
+        return cached[1]
     for stale in [k for k in _LPA_CACHE if k[0] != static_dir]:
         del _LPA_CACHE[stale]
-    cdir = _lpa_cdir(static_dir, pid)
     if not os.path.exists(os.path.join(cdir, "_OK")):
         if not _compile_lpa_aligned(static_dir, sd, pid, cdir):
-            _LPA_CACHE[key] = None
             return None
     ent = {
         "vids": np.load(os.path.join(cdir, "vids.npy"), mmap_mode="r"),
@@ -157,7 +169,7 @@ def _load_lpa_aligned(static_dir: str, sd: str, pid: int):
     for name in _LPA_OPT:
         path = os.path.join(cdir, f"{name}.npy")
         ent[name] = np.load(path, mmap_mode="r") if os.path.exists(path) else None
-    _LPA_CACHE[key] = ent
+    _LPA_CACHE[key] = (compiled_generation(cdir), ent)
     return ent
 
 
@@ -171,59 +183,159 @@ def _winners(to: np.ndarray, lab: np.ndarray, w: np.ndarray):
     return win["t"].to_numpy(), win["l"].to_numpy()
 
 
-def _vote_report(hub_vid: np.ndarray, lab: np.ndarray, w: np.ndarray) -> pd.DataFrame:
-    """Pre-reduced (hub, label, Σw) partial rows in the fused schema."""
-    g = (
-        pd.DataFrame({"h": hub_vid, "l": lab, "w": w})
-        .groupby(["h", "l"], sort=False, as_index=False)["w"]
-        .sum()
-    )
-    g["pid"] = None
-    g["n_rows"] = None
-    g["checksum"] = None
-    g["changed"] = None
-    return g[["pid", "n_rows", "checksum", "changed", "h", "l", "w"]]
+def _votes_on_hubs(lab_now, al, rvids, hub_lab_now):
+    """This partition's COMPLETE share of the vote multiset on hub vertices,
+    as parallel (hub_idx, hub_vid, label, w) array lists:
 
+    1. scatter: every remote edge's src label votes on its dst hub;
+    2. owner-local: local (compile-time-symmetrized) edges incident to a
+       hub this partition owns vote with their far end's label;
+    3. gather-direction: a remote edge whose SRC is itself a hub receives
+       the dst hub's label as a vote on that src — the reverse orientation
+       of (1). ``lpa.py`` symmetrizes so vote(u, v) sums BOTH directed
+       weights of a cross-partition pair; without this case each hub's
+       winner saw only the weight of edges pointing AT it, silently
+       diverging whenever a pair has directed edges in both orientations
+       with unequal weights.
 
-def _reports_from(lab_now, al, rvids):
-    """Pre-reduced (hub, label, Σw) vote partials from ``lab_now``: every
-    remote edge's vote, plus this partition's LOCAL votes on hubs it owns."""
+    Every remote edge thus contributes exactly one vote on its dst (1) and,
+    iff its src is a hub, exactly one vote on its src (3); the opposite
+    directed edge of the same pair lives in the OTHER endpoint's shard and
+    contributes the mirror votes there — together they reproduce
+    ``lpa.symmetrize``'s summed weights with no double count.
+    """
     vids = al["vids"]
-    reports: list[pd.DataFrame] = []
+    hidx_p, h_p, l_p, w_p = [], [], [], []
+    if not len(rvids):
+        return hidx_p, h_p, l_p, w_p
     if al["r_src_pos"] is not None:
-        reports.append(
-            _vote_report(
-                np.asarray(al["r_dst_uniq"])[al["r_hubcode"]],
-                lab_now[al["r_src_pos"]],
-                np.asarray(al["r_w"]),
+        r_w = np.asarray(al["r_w"], dtype=np.float64)
+        uniq_hidx = np.searchsorted(rvids, al["r_dst_uniq"])
+        uniq_hidx = np.minimum(uniq_hidx, len(rvids) - 1)
+        if not np.asarray(rvids[uniq_hidx] == al["r_dst_uniq"]).all():
+            raise RuntimeError("lpa vote report: remote dst missing from hub universe")
+        hidx1 = uniq_hidx[np.asarray(al["r_hubcode"])]
+        hidx_p.append(hidx1)
+        h_p.append(np.asarray(rvids)[hidx1])
+        l_p.append(lab_now[np.asarray(al["r_src_pos"])])
+        w_p.append(r_w)
+        src_vid = np.asarray(vids)[np.asarray(al["r_src_pos"])]
+        sp = np.searchsorted(rvids, src_vid)
+        sp = np.minimum(sp, len(rvids) - 1)
+        hit = np.asarray(rvids[sp] == src_vid)
+        if hit.any():
+            hidx_p.append(sp[hit])
+            h_p.append(src_vid[hit])
+            l_p.append(np.asarray(hub_lab_now)[hidx1[hit]])
+            w_p.append(r_w[hit])
+    own_pos = np.searchsorted(vids, rvids)
+    own_pos = np.minimum(own_pos, len(vids) - 1)
+    own_hit = np.asarray(vids[own_pos] == rvids)
+    if own_hit.any() and al["l_to"] is not None:
+        flag = np.zeros(len(vids), dtype=bool)
+        flag[own_pos[own_hit]] = True
+        l_to = np.asarray(al["l_to"])
+        sel = flag[l_to]
+        if sel.any():
+            hvid = np.asarray(vids)[l_to[sel]]
+            hidx_p.append(np.searchsorted(rvids, hvid))
+            h_p.append(hvid)
+            l_p.append(lab_now[np.asarray(al["l_from"])[sel]])
+            w_p.append(np.asarray(al["l_w"])[sel].astype(np.float64))
+    return hidx_p, h_p, l_p, w_p
+
+
+# -----------------------------------------------------------------------------
+# Hub-sliced vote segments: the file-superstep exchange for (hub × label)
+# -----------------------------------------------------------------------------
+#
+# Layout: one binary file per (writer pid i, winner slot j), header
+# [superstep, n] int64 then h[n] int64, l[n] int64, w[n] float64. A vote on
+# hub rvids[idx] goes to slot idx % P. Every writer publishes ALL P slot
+# files (empty included) atomically — existence is the winner job's
+# completeness proof, the superstep stamp its freshness proof. On tmpfs the
+# whole exchange runs at memcpy speed; on object-store roots each file is
+# one PUT/GET. This replaces the previous in-Spark groupBy+window over a
+# localCheckpoint-ed ~|remote-edge|-row relation, which was the measured
+# 40× throughput floor of the kernel (round-4 verdict): the vote bytes now
+# never cross Arrow, the JVM, or a shuffle.
+
+
+def _vote_path(vdir: str, i: int, j: int) -> str:
+    return os.path.join(vdir, f"v-{i:05d}-{j:05d}.bin")
+
+
+def _write_vote_files(vdir: str, pid: int, P: int, k: int, hidx, h, l, w) -> None:
+    if len(h):
+        j_all = hidx % P
+        order = np.argsort(j_all, kind="stable")
+        j_sorted = j_all[order]
+        h, l, w = h[order], l[order], np.asarray(w, dtype=np.float64)[order]
+        bounds = np.searchsorted(j_sorted, np.arange(P + 1))
+    else:
+        h = l = np.empty(0, dtype=np.int64)
+        w = np.empty(0, dtype=np.float64)
+        bounds = np.zeros(P + 1, dtype=np.int64)
+    uri = fsio.is_uri(vdir)
+    if not uri:
+        os.makedirs(vdir, exist_ok=True)
+    for j in range(P):
+        a, b = int(bounds[j]), int(bounds[j + 1])
+        head = np.asarray([k, b - a], dtype=np.int64)
+        hj = np.ascontiguousarray(h[a:b], dtype=np.int64)
+        lj = np.ascontiguousarray(l[a:b], dtype=np.int64)
+        wj = np.ascontiguousarray(w[a:b])
+        path = _vote_path(vdir, pid, j)
+        if uri:
+            fsio.write_bytes(path, head.tobytes() + hj.tobytes() + lj.tobytes() + wj.tobytes())
+            continue
+        tmp = path + f".tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            head.tofile(f)
+            hj.tofile(f)
+            lj.tofile(f)
+            wj.tofile(f)
+        os.replace(tmp, path)
+
+
+def _read_vote_file(vdir: str, i: int, j: int, expect_k: int):
+    path = _vote_path(vdir, i, j)
+    if fsio.is_uri(vdir):
+        data = fsio.read_bytes(path)
+        if data is None:
+            raise RuntimeError(
+                f"lpa vote exchange incomplete: segment ({i},{j}) missing for superstep {expect_k}"
             )
+        head = np.frombuffer(data[:16], dtype=np.int64)
+        k, n = int(head[0]), int(head[1])
+        if k != expect_k:
+            raise RuntimeError(
+                f"lpa vote segment ({i},{j}) is stale: superstep {k}, expected {expect_k}"
+            )
+        off = 16
+        h = np.frombuffer(data[off : off + 8 * n], dtype=np.int64)
+        l = np.frombuffer(data[off + 8 * n : off + 16 * n], dtype=np.int64)
+        w = np.frombuffer(data[off + 16 * n : off + 24 * n], dtype=np.float64)
+        return h, l, w
+    if not os.path.exists(path):
+        raise RuntimeError(
+            f"lpa vote exchange incomplete: segment ({i},{j}) missing for superstep {expect_k}"
         )
-    if len(rvids):
-        own_pos = np.searchsorted(vids, rvids)
-        own_pos = np.minimum(own_pos, len(vids) - 1)
-        own_hit = np.asarray(vids[own_pos] == rvids)
-        if own_hit.any() and al["l_to"] is not None:
-            flag = np.zeros(len(vids), dtype=bool)
-            flag[own_pos[own_hit]] = True
-            l_to = np.asarray(al["l_to"])
-            sel = flag[l_to]
-            if sel.any():
-                reports.append(
-                    _vote_report(
-                        np.asarray(vids)[l_to[sel]],
-                        lab_now[np.asarray(al["l_from"])[sel]],
-                        np.asarray(al["l_w"])[sel],
-                    )
-                )
-    return reports
+    with open(path, "rb") as f:
+        head = np.fromfile(f, dtype=np.int64, count=2)
+        k, n = int(head[0]), int(head[1])
+        if k != expect_k:
+            raise RuntimeError(
+                f"lpa vote segment ({i},{j}) is stale: superstep {k}, expected {expect_k}"
+            )
+        h = np.fromfile(f, dtype=np.int64, count=n)
+        l = np.fromfile(f, dtype=np.int64, count=n)
+        w = np.fromfile(f, dtype=np.float64, count=n)
+    return h, l, w
 
 
 def _apply_lpa_kernel(labels, al, rvids, hub_prev, hub_new):
-    """One synchronous LPA step for one partition.
-
-    Returns ``(out, changed, reports)``; ``reports`` are vote partials (from
-    the NEW labels) that decide the hubs' next-superstep winners.
-    """
+    """One synchronous LPA step for one partition: returns ``(out, changed)``."""
     vids = al["vids"]
     out = labels.copy()
     pool_t, pool_l, pool_w = [], [], []
@@ -246,38 +358,16 @@ def _apply_lpa_kernel(labels, al, rvids, hub_prev, hub_new):
             np.concatenate(pool_t), np.concatenate(pool_l), np.concatenate(pool_w)
         )
         out[tpos] = tlab
-    own_pos = own_hit = None
     if len(rvids):
         own_pos = np.searchsorted(vids, rvids)
         own_pos = np.minimum(own_pos, len(vids) - 1)
         own_hit = np.asarray(vids[own_pos] == rvids)
         if own_hit.any():
-            # the driver's winner (complete vote multiset) overrides any
+            # the winner-job verdict (complete vote multiset) overrides any
             # partial local argmax on an owned hub
             out[own_pos[own_hit]] = hub_new[own_hit]
     changed = int(np.count_nonzero(out != labels))
-    return out, changed, _reports_from(out, al, rvids)
-
-
-def _spark_hub_winners(res: DataFrame) -> dict[int, int]:
-    """Winner per hub from the fused task output, computed IN Spark —
-    the (hub × label) vote relation never reaches the driver; only the
-    ≤ #hubs winner rows do. Ordering matches lpa.py's window exactly."""
-    from pyspark.sql import Window
-
-    votes = (
-        res.where(F.col("pid").isNull())
-        .groupBy("h", "l")
-        .agg(F.sum("w").alias("w"))
-    )
-    win = Window.partitionBy("h").orderBy(F.col("w").desc(), F.col("l").asc())
-    rows = (
-        votes.withColumn("rn", F.row_number().over(win))
-        .where(F.col("rn") == 1)
-        .select("h", "l")
-        .collect()
-    )
-    return {int(r["h"]): int(r["l"]) for r in rows}
+    return out, changed
 
 
 def lpa_local_files(
@@ -322,9 +412,17 @@ def _lpa_local_files_inner(
     static_meta = os.path.join(static_dir, "_META.json")
     vertices = None
     meta = fsio.read_json(static_meta) if fsio.exists(os.path.join(shard_dir, "_DONE")) else None
-    if meta is not None and meta.get("sorted") and meta.get("raw_w"):
+    # the warm gate needs RAW summed weights in the shard p slot ("raw",
+    # legacy marker raw_w) — a dir previously warmed by PageRank holds
+    # normalized probabilities and CC constant 1.0, and silently voting
+    # with those would mislabel every community
+    _w = (meta or {}).get("weights", "raw" if (meta or {}).get("raw_w") else None)
+    if meta is not None and meta.get("sorted") and _w == "raw":
         n, num_edges = int(meta["n"]), int(meta["num_edges"])
     else:
+        if fsio.exists(os.path.join(shard_dir, "_DONE")):
+            purge_shard_dir(shard_dir)
+            purge_shard_dir(static_dir)
         # vote weight of u on v = Σ weight over DIRECTED (u,v) rows; the
         # symmetric doubling happens at alignment-compile time, so one
         # groupBy here matches lpa.symmetrize's sum exactly
@@ -357,17 +455,18 @@ def _lpa_local_files_inner(
     n_tasks = min(P, max(1, n_slots))
     pids = spark.range(P, numPartitions=n_tasks).select(F.col("id").cast("int").alias("pid"))
     sd = shard_dir
+    vote_dir = os.path.join(store.root, run_id, "_lpa_votes")
     history: list[dict[str, Any]] = []
     carry: dict[str, Any] = {}
     resumed_from: int | None = None
     start = 0
 
     def _split_rows(rows: list) -> tuple[list[dict], list[dict]]:
-        metrics_rows, vote_rows = [], []
+        metrics_rows, hub_rows = [], []
         for r in rows:
             d_ = r.asDict()
-            (metrics_rows if d_["pid"] is not None else vote_rows).append(d_)
-        return metrics_rows, vote_rows
+            (metrics_rows if d_["pid"] is not None else hub_rows).append(d_)
+        return metrics_rows, hub_rows
 
     def _combine(rows: list[dict], k: int) -> tuple[dict, list[dict], bool]:
         if not rows:
@@ -434,6 +533,15 @@ def _lpa_local_files_inner(
     if resumed_from is None and not resume:
         store.clear_run(run_id)
 
+    params_path = os.path.join(store.root, run_id, "_lpa_superstep_params.json")
+    update_df = pids.mapInPandas(_make_pass(static_dir, sd, store, run_id), schema=_LPA_SCHEMA)
+    winner_df = pids.mapInPandas(_make_winner_task(store, run_id), schema="h long, l long")
+
+    def _collect_winners(k: int, hubs: list[int]) -> dict[int, int]:
+        if not hubs:
+            return {}
+        return {int(r["h"]): int(r["l"]) for r in winner_df.collect()}
+
     if start == 0:
         t0 = _time.monotonic()
         sdir0 = _state_dir(store, run_id, 0)
@@ -463,7 +571,7 @@ def _lpa_local_files_inner(
                 "pid": pid, "n_rows": int(len(vids)),
                 "checksum": int(zlib.crc32(np.ascontiguousarray(vids).tobytes())
                                 ^ zlib.crc32(np.ascontiguousarray(labels).tobytes())),
-                "changed": 0, "h": None, "l": None, "w": None,
+                "changed": 0, "h": None,
             }])
             # phase 0a surfaces only the hub UNIVERSE (remote dst ids, tiny);
             # the vote replay happens in phase 0b once every partition knows it
@@ -472,8 +580,8 @@ def _lpa_local_files_inner(
                 hubs = np.asarray(al["r_dst_uniq"])
                 yield pd.DataFrame({
                     "h": hubs, "pid": None, "n_rows": None, "checksum": None,
-                    "changed": None, "l": None, "w": None,
-                })[["pid", "n_rows", "checksum", "changed", "h", "l", "w"]]
+                    "changed": None,
+                })[["pid", "n_rows", "checksum", "changed", "h"]]
 
         def init_warm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             macc: list[dict] = []
@@ -490,15 +598,15 @@ def _lpa_local_files_inner(
                         "pid": pid, "n_rows": int(len(vids)),
                         "checksum": int(zlib.crc32(np.ascontiguousarray(vids).tobytes())
                                         ^ zlib.crc32(np.ascontiguousarray(labels).tobytes())),
-                        "changed": 0, "h": None, "l": None, "w": None,
+                        "changed": 0, "h": None,
                     })
                     al = _load_lpa_aligned(static_dir, sd, pid)
                     if al is not None and al["r_dst_uniq"] is not None:
                         hubs = np.asarray(al["r_dst_uniq"])
                         yield pd.DataFrame({
                             "h": hubs, "pid": None, "n_rows": None, "checksum": None,
-                            "changed": None, "l": None, "w": None,
-                        })[["pid", "n_rows", "checksum", "changed", "h", "l", "w"]]
+                            "changed": None,
+                        })[["pid", "n_rows", "checksum", "changed", "h"]]
             if macc:
                 yield pd.DataFrame(macc)
 
@@ -511,7 +619,8 @@ def _lpa_local_files_inner(
             )
             fsio.write_json_atomic(
                 static_meta,
-                {"n": n, "num_edges": num_edges, "P": P, "sorted": True, "raw_w": True},
+                {"n": n, "num_edges": num_edges, "P": P, "sorted": True,
+                 "raw_w": True, "weights": "raw"},
             )
         else:
             rows = pids.mapInPandas(init_warm, schema=_LPA_SCHEMA).collect()
@@ -519,14 +628,16 @@ def _lpa_local_files_inner(
         metrics, lineage, _ = _combine(metrics_rows, 0)
         rvids0 = sorted({int(r["h"]) for r in hub_rows})
         # phase 0b: replay the vote report from labels_0 with the hub
-        # universe known, winners decided in Spark — superstep 1's hub
-        # labels now include owner-local votes too
+        # universe known, winners decided by the slot job — superstep 1's
+        # hub labels include owner-local votes too
         fsio.write_json_atomic(
-            os.path.join(store.root, run_id, "_lpa_superstep_params.json"),
-            {"mode": "report0", "prev_dir": sdir0, "rvids": rvids0},
+            params_path,
+            {"mode": "report0", "prev_dir": sdir0, "rvids": rvids0,
+             "vote_dir": vote_dir, "P": P, "superstep": 0},
         )
-        report_df = pids.mapInPandas(_make_pass(static_dir, sd, store, run_id), schema=_LPA_SCHEMA)
-        winners = _spark_hub_winners(report_df)
+        if rvids0:
+            update_df.collect()  # writes the hub-sliced vote segments
+        winners = _collect_winners(0, rvids0)
         carry = {
             # hub_prev at superstep 1 = the hubs' INITIAL labels (their vid)
             "hub_prev": {str(h): h for h in rvids0},
@@ -540,8 +651,6 @@ def _lpa_local_files_inner(
 
     converged = bool(carry.get("_converged"))
     last = start - 1
-    params_path = os.path.join(store.root, run_id, "_lpa_superstep_params.json")
-    update_df = pids.mapInPandas(_make_pass(static_dir, sd, store, run_id), schema=_LPA_SCHEMA)
 
     for k in range(start, max_iter + 1):
         t0 = _time.monotonic()
@@ -558,18 +667,17 @@ def _lpa_local_files_inner(
                 "rvids": hubs,
                 "hub_prev": [hub_prev_d.get(h, h) for h in hubs],
                 "hub_new": [hub_new_d[h] for h in hubs],
+                "vote_dir": vote_dir,
+                "P": P,
             },
         )
-        # ONE execution of the fused pass, pinned distributed; the metrics
-        # rows (P) and the hub winners (≤ #hubs) are the only driver-bound
-        # data — the (hub × label) vote relation stays on the executors
-        res = update_df.localCheckpoint(eager=True)
-        try:
-            metrics_rows = [r.asDict() for r in res.where(F.col("pid").isNotNull()).collect()]
-            winners = _spark_hub_winners(res)
-        finally:
-            res.unpersist()
+        # job 1 — the fused pass: apply the kernel, write label segments,
+        # publish hub-sliced vote segments; only P metrics rows come back.
+        # job 2 — the winner job: per slot, read every partition's slice,
+        # one groupby+stable-sort, return ≤ #hubs winner rows.
+        metrics_rows = [r.asDict() for r in update_df.collect()]
         metrics, lineage, converged = _combine(metrics_rows, k)
+        winners = _collect_winners(k, hubs)
         carry = {
             # next superstep's "previous" hub labels are the ones just written
             "hub_prev": {str(h): v for h, v in hub_new_d.items()},
@@ -586,13 +694,16 @@ def _lpa_local_files_inner(
         if converged:
             break
 
+    if fsio.is_uri(store.root):
+        fsio.rmtree(vote_dir)  # transient exchange; superstep state is the checkpoint
+
     return GraphRun(_state_df(last), run_id, last, converged, history, resumed_from)
 
 
 def _make_pass(static_dir: str, sd: str, store: CheckpointStore, run_id: str):
-    """The per-superstep fused task: full update (mode=update) or the
-    phase-0b vote replay (mode=report0). Params travel via a tiny JSON file
-    so the DataFrame is analyzed once and re-executed every superstep."""
+    """The per-superstep fused task: full update (default) or the phase-0b
+    vote replay (mode=report0). Params travel via a tiny JSON file so the
+    DataFrame is analyzed once and re-executed every superstep."""
     params_path = os.path.join(store.root, run_id, "_lpa_superstep_params.json")
 
     def task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -600,6 +711,7 @@ def _make_pass(static_dir: str, sd: str, store: CheckpointStore, run_id: str):
         report_only = prm.get("mode") == "report0"
         prev_dir = prm["prev_dir"]
         rvids = np.asarray(prm["rvids"], dtype=np.int64)
+        vdir, P, kk = prm["vote_dir"], int(prm["P"]), int(prm["superstep"])
         if not report_only:
             next_dir, recycle_dir = prm["next_dir"], prm["recycle_dir"]
             hub_prev = np.asarray(prm["hub_prev"], dtype=np.int64)
@@ -611,23 +723,70 @@ def _make_pass(static_dir: str, sd: str, store: CheckpointStore, run_id: str):
                 al = _load_lpa_aligned(static_dir, sd, pid)
                 labels = _read_rank_part(prev_dir, pid, dtype=np.int64)
                 if al is None or labels is None:
+                    if len(rvids):
+                        # an empty partition still publishes its (empty)
+                        # vote slots — existence is the completeness proof
+                        _write_vote_files(vdir, pid, P, kk, None, [], [], [])
                     continue
                 if report_only:
-                    # stream per-pid: while labels are still near-unique the
-                    # vote relation is ~|remote edges| rows — holding a whole
-                    # task's worth (then re-merging what Spark aggregates
-                    # anyway) measurably spikes worker RSS at 233M edges
-                    yield from _reports_from(labels, al, rvids)
-                    continue
-                out, changed, reports = _apply_lpa_kernel(labels, al, rvids, hub_prev, hub_new)
-                _write_rank_part(next_dir, pid, out, recycle_dir)
-                macc.append({
-                    "pid": pid, "n_rows": int(len(out)),
-                    "checksum": int(al["crc"] ^ zlib.crc32(memoryview(out).cast("B"))),
-                    "changed": changed, "h": None, "l": None, "w": None,
-                })
-                yield from reports
+                    lab_now, hub_lab = labels, rvids
+                else:
+                    out, changed = _apply_lpa_kernel(labels, al, rvids, hub_prev, hub_new)
+                    _write_rank_part(next_dir, pid, out, recycle_dir)
+                    macc.append({
+                        "pid": pid, "n_rows": int(len(out)),
+                        "checksum": int(al["crc"] ^ zlib.crc32(memoryview(out).cast("B"))),
+                        "changed": changed, "h": None,
+                    })
+                    lab_now, hub_lab = out, hub_new
+                if len(rvids):
+                    hidx_p, h_p, l_p, w_p = _votes_on_hubs(lab_now, al, rvids, hub_lab)
+                    if hidx_p:
+                        _write_vote_files(
+                            vdir, pid, P, kk,
+                            np.concatenate(hidx_p).astype(np.int64),
+                            np.concatenate(h_p).astype(np.int64),
+                            np.concatenate(l_p).astype(np.int64),
+                            np.concatenate(w_p),
+                        )
+                    else:
+                        _write_vote_files(vdir, pid, P, kk, None, [], [], [])
         if macc:
             yield pd.DataFrame(macc)
+
+    return task
+
+
+def _make_winner_task(store: CheckpointStore, run_id: str):
+    """Winner job: task j reads slice j of every partition's vote segment,
+    resolves winners with one pandas groupby + the exact total order of
+    ``lpa.py``'s window (max Σw, then min label), and returns only winner
+    rows — the (hub × label) relation never reaches the driver."""
+    params_path = os.path.join(store.root, run_id, "_lpa_superstep_params.json")
+
+    def task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        prm = fsio.read_json(params_path)
+        kk, P, vdir = int(prm["superstep"]), int(prm["P"]), prm["vote_dir"]
+        for pdf in batches:
+            for j in pdf["pid"].to_numpy():
+                j = int(j)
+                hs, ls, ws = [], [], []
+                for i in range(P):
+                    h, l, w = _read_vote_file(vdir, i, j, kk)
+                    if len(h):
+                        hs.append(h)
+                        ls.append(l)
+                        ws.append(w)
+                if not hs:
+                    continue
+                df = pd.DataFrame({
+                    "h": np.concatenate(hs),
+                    "l": np.concatenate(ls),
+                    "w": np.concatenate(ws),
+                })
+                g = df.groupby(["h", "l"], sort=False, as_index=False)["w"].sum()
+                g = g.sort_values(["h", "w", "l"], ascending=[True, False, True], kind="stable")
+                win = g.drop_duplicates("h")
+                yield pd.DataFrame({"h": win["h"].to_numpy(), "l": win["l"].to_numpy()})
 
     return task

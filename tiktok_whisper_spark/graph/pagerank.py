@@ -494,16 +494,22 @@ def _compile_aligned(static_dir: str, sd: str, pid: int, cdir: str) -> bool:
 
 
 def _load_aligned(static_dir: str, sd: str, pid: int):
-    """mmap-loaded static+alignment arrays for one partition (or None)."""
+    """mmap-loaded static+alignment arrays for one partition (or None).
+
+    Entries carry the compile dir's publish generation (``_OK`` inode+mtime)
+    and re-validate it on every hit, so a long-lived worker never serves a
+    stale mmap after init's rmtree+recompile under the same static_dir."""
+    from .scatter import compiled_generation
+
     key = (static_dir, pid)
-    if key in _ALIGNED_CACHE:
-        return _ALIGNED_CACHE[key]
+    cdir = _aligned_cdir(static_dir, pid)
+    cached = _ALIGNED_CACHE.get(key)
+    if cached is not None and cached[0] == compiled_generation(cdir):
+        return cached[1]
     for stale in [k for k in _ALIGNED_CACHE if k[0] != static_dir]:
         del _ALIGNED_CACHE[stale]
-    cdir = _aligned_cdir(static_dir, pid)
     if not os.path.exists(os.path.join(cdir, "_OK")):
         if not _compile_aligned(static_dir, sd, pid, cdir):
-            _ALIGNED_CACHE[key] = None
             return None
     ent = {
         "vids": np.load(os.path.join(cdir, "vids.npy"), mmap_mode="r"),
@@ -513,7 +519,7 @@ def _load_aligned(static_dir: str, sd: str, pid: int):
     for name in _ALIGNED_OPT:
         path = os.path.join(cdir, f"{name}.npy")
         ent[name] = np.load(path, mmap_mode="r") if os.path.exists(path) else None
-    _ALIGNED_CACHE[key] = ent
+    _ALIGNED_CACHE[key] = (compiled_generation(cdir), ent)
     return ent
 
 
@@ -599,9 +605,20 @@ def _pagerank_local_files_inner(
     meta = fsio.read_json(static_meta) if fsio.exists(os.path.join(shard_dir, "_DONE")) else None
     # meta["sorted"] gates warm reuse: static vid files from before the
     # sorted-layout change would break the searchsorted hub application.
-    if meta is not None and meta.get("sorted"):
+    # meta["weights"] gates the p-slot semantics: PageRank needs normalized
+    # probabilities ("norm"); a dir previously warmed by LPA holds raw
+    # summed weights ("raw", legacy marker raw_w) and CC constant 1.0
+    # ("unit") — silently gathering with those would corrupt every rank.
+    # Legacy dirs without either marker predate CC/LPA sharing and are norm.
+    _w = (meta or {}).get("weights", "raw" if (meta or {}).get("raw_w") else "norm")
+    if meta is not None and meta.get("sorted") and _w == "norm":
         n, num_edges = int(meta["n"]), int(meta["num_edges"])
     else:
+        if fsio.exists(os.path.join(shard_dir, "_DONE")):
+            from .scatter import purge_shard_dir
+
+            purge_shard_dir(shard_dir)
+            purge_shard_dir(_static_dir(store, run_id, P))
         e = edges.groupBy("src", "dst").agg(
             F.sum("weight").alias("w"),
             F.first("src_home").alias("src_home"),
@@ -829,7 +846,8 @@ def _pagerank_local_files_inner(
                 .collect()
             )
             fsio.write_json_atomic(
-                static_meta, {"n": n, "num_edges": num_edges, "P": P, "sorted": True}
+                static_meta,
+                {"n": n, "num_edges": num_edges, "P": P, "sorted": True, "weights": "norm"},
             )
         else:
             rows = pids.mapInPandas(init_warm, schema=_METRICS_SCHEMA).collect()

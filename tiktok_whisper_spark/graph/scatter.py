@@ -44,8 +44,24 @@ __all__ = [
     "local_gather_sums",
     "write_edge_shards",
     "write_edge_shards_local",
+    "purge_shard_dir",
     "shard_pid",
 ]
+
+
+def compiled_generation(cdir: str):
+    """Identity token of one compiled-cache publish: the ``_OK`` marker's
+    (inode, mtime). ``os.replace`` of a fresh tmp dir gives every publish a
+    new inode, so worker-process caches keyed on the compile dir can detect
+    a re-publish (init's rmtree+recompile under the same path) instead of
+    serving a stale mmap alignment. ``None`` = not compiled."""
+    import os
+
+    try:
+        st = os.stat(os.path.join(cdir, "_OK"))
+        return (st.st_ino, st.st_mtime_ns)
+    except OSError:
+        return None
 
 
 @dataclass
@@ -332,6 +348,32 @@ def write_edge_shards_local(enorm: DataFrame, shard_dir: str, num_partitions: in
     )
 
 
+def purge_shard_dir(shard_dir: str) -> None:
+    """Delete a shard dir so it can be rewritten with different weight
+    semantics (the three locality kernels share one ``_edge_shards_p{P}``
+    layout but put different values in the ``p`` slot — PageRank normalized
+    probabilities, CC constant 1.0, LPA raw summed weights). Also drops the
+    node-local compiled cache when the dir is an object-store URI; on a
+    multi-node cluster, rewriting a URI shard dir in place would still leave
+    OTHER nodes' caches stale — share run dirs across kernels only when the
+    weight semantics match, or use a fresh run_id."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import fsio
+
+    fsio.rmtree(shard_dir)
+    if "://" in shard_dir:
+        root = os.path.join(
+            os.environ.get("TWSPARK_SHARD_CACHE", tempfile.gettempdir()),
+            "twspark_shard_cache",
+            hashlib.md5(shard_dir.encode()).hexdigest(),
+        )
+        shutil.rmtree(root, ignore_errors=True)
+
+
 _SPLIT_ARRAYS = ("src_codes", "src_uniq", "dst_codes", "dst_uniq", "p")
 
 
@@ -353,8 +395,6 @@ def _load_shard_split(shard_dir: str, pid: int):
     remote shards a real cluster wants.
     """
     key = (shard_dir, pid, "split")
-    if key in _SHARD_CACHE:
-        return _SHARD_CACHE[key]
     for stale in [k for k in _SHARD_CACHE if k[0] != shard_dir]:
         del _SHARD_CACHE[stale]
     import hashlib
@@ -384,6 +424,13 @@ def _load_shard_split(shard_dir: str, pid: int):
         cdir = os.path.join(path, "_compiled_v2")
         read_path, read_fs = path, None
 
+    cached = _SHARD_CACHE.get(key)
+    if cached is not None and cached[0] == compiled_generation(cdir):
+        # generation-checked hit: a rmtree+recompile under the same path
+        # (shard rewrite for different weight semantics) republishes _OK
+        # with a fresh inode, so a long-lived worker never serves the old
+        # mmap arrays for a rewritten shard
+        return cached[1]
     if not os.path.exists(os.path.join(cdir, "_OK")):
         _compile_shard_split(read_path, cdir, filesystem=read_fs)
     entry = {}
@@ -396,7 +443,7 @@ def _load_shard_split(shard_dir: str, pid: int):
             for name in _SPLIT_ARRAYS
         )
         entry[half] = arrs
-    _SHARD_CACHE[key] = entry
+    _SHARD_CACHE[key] = (compiled_generation(cdir), entry)
     return entry
 
 

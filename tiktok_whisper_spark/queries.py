@@ -961,7 +961,11 @@ def graph_cc_star_labels(spark, sf_dir):
     "JOIN pp e2 ON e1.v = e2.u JOIN pp e3 ON e3.u = e1.u AND e3.v = e2.v",
 )
 def graph_triangle_count(spark, sf_dir):
-    """Global triangle count over the part co-occurrence graph (id-invariant)."""
+    """Global triangle count over the part co-occurrence graph (id-invariant),
+    routed through the heavy-hitter split path (``hub_split`` with a low
+    cutoff so hot wedge centers exist at driver scale) — the 10^12-edge
+    escape hatch for wedge-join skew is what the oracle verifies here; the
+    plain wedge join stays pytest-verified against the same counts."""
     li = (
         load(spark, sf_dir, "lineitem")
         .where(F.col("l_partkey") % 5 == 0)
@@ -976,50 +980,79 @@ def graph_triangle_count(spark, sf_dir):
         .distinct()
         .withColumn("weight", F.lit(1.0))
     )
-    res = triangle_counts(edges)
+    res = triangle_counts(edges, hub_split=True, hub_threshold=4)
     return spark.createDataFrame([(res.total,)], "n_triangles long")
 
 
-# -- weaker (rows-only) entries: non-SQL-expressible ops ----------------------
+def _lpa_communities_sql(iters: int = 10) -> str:
+    """Chained-CTE unroll of ``iters`` synchronous LPA supersteps over the
+    event-adjacency graph, with vertex ids assigned by ALPHABETICAL NAME
+    RANK (replayable in any engine, unlike xxhash64 vertex ids) so the
+    min-label tie-break agrees bit-for-bit. Unrolling exactly max_iter
+    steps equals the run-to-convergence result: a converged state maps to
+    itself under further supersteps, and a 2-cycle is reproduced
+    identically by both engines."""
+    parts = [
+        _ADJ_EDGES_SQL + ", "
+        "v AS (SELECT DISTINCT name FROM (SELECT src_name AS name FROM e "
+        "UNION ALL SELECT dst_name FROM e)), "
+        "ids AS (SELECT name, row_number() OVER (ORDER BY name) AS vid FROM v), "
+        "en AS (SELECT si.vid AS src, di.vid AS dst, e.weight AS w FROM e "
+        "JOIN ids si ON e.src_name = si.name JOIN ids di ON e.dst_name = di.name), "
+        "s AS (SELECT src, dst, sum(w) AS w FROM "
+        "(SELECT src, dst, w FROM en UNION ALL SELECT dst AS src, src AS dst, w FROM en) "
+        "WHERE src <> dst GROUP BY 1, 2), "
+        "l0 AS (SELECT DISTINCT src AS vid, src AS label FROM s)"
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", v{i} AS (SELECT s.dst AS vid, l.label, sum(s.w) AS votes "
+            f"FROM s JOIN l{i - 1} l ON l.vid = s.src GROUP BY 1, 2)"
+            f", l{i} AS (SELECT vid, label FROM (SELECT vid, label, row_number() OVER "
+            f"(PARTITION BY vid ORDER BY votes DESC, label ASC) AS rn FROM v{i}) WHERE rn = 1)"
+        )
+    parts.append(
+        f" SELECT i.name, c.name AS community FROM l{iters} l "
+        "JOIN ids i ON i.vid = l.vid JOIN ids c ON c.vid = l.label"
+    )
+    return "".join(parts)
 
-@_register("graph_lpa_communities")  # deterministic but not ANSI-SQL-expressible
+
+@_register("graph_lpa_communities", _lpa_communities_sql(10))
 def graph_lpa_communities(spark, sf_dir):
-    """LPA communities over the event-adjacency graph; labels mapped back to
-    names. Verified exactly against the Python oracle in pytest; the driver
-    records a rows-only check here (argmax-vote recursion isn't ANSI SQL)."""
+    """LPA communities over the event-adjacency graph, labels mapped back to
+    names — the full run-to-convergence community surface (reference analog:
+    cluster membership, clustering.js:579-623), oracle-verified end to end.
+    Vertex ids are dense alphabetical name ranks so the oracle can replay
+    the min-label tie-break; ``max_iter`` equals the oracle's unroll depth
+    (post-convergence supersteps are fixpoints in both engines)."""
     from .graph import label_propagation
 
     named = _event_adjacency_named(spark, sf_dir)
-    edges = named.select(
-        vertex_id("role", "src_name").alias("src"),
-        vertex_id("role", "dst_name").alias("dst"),
-        "weight",
-    )
     names = (
         named.select(F.col("src_name").alias("name"))
         .unionByName(named.select(F.col("dst_name").alias("name")))
         .distinct()
-        .select(vertex_id("role", "name").alias("vid"), "name")
+    )
+    # global row_number over ~|event types| names — a handful of rows, the
+    # single-partition window is deliberate
+    ids = names.select(
+        "name", F.row_number().over(Window.orderBy("name")).alias("vid")
+    )
+    src_ids = ids.select(F.col("name").alias("src_name"), F.col("vid").alias("src"))
+    dst_ids = ids.select(F.col("name").alias("dst_name"), F.col("vid").alias("dst"))
+    edges = named.join(src_ids, "src_name").join(dst_ids, "dst_name").select(
+        "src", "dst", "weight"
     )
     store = CheckpointStore(tempfile.mkdtemp(prefix="twspark_q_lpa_"))
     run = label_propagation(edges, max_iter=10, store=store, resume=False, checkpoint_every=10)
     shutil.rmtree(store.root, ignore_errors=True)
-    lbl_names = names.select(F.col("vid").alias("label"), F.col("name").alias("community"))
+    lbl_names = ids.select(F.col("vid").alias("label"), F.col("name").alias("community"))
     return (
-        run.state.join(names, "vid")
+        run.state.join(ids, "vid")
         .join(lbl_names, "label")
         .select("name", "community")
     )
-
-
-@_register("vector_kmeans_sizes")  # iterative; verified in pytest vs NumPy oracle
-def vector_kmeans_sizes(spark, sf_dir):
-    """Deterministic k-means cluster-size histogram (k=8, seed=42)."""
-    from .operators.similarity import kmeans
-
-    emb = load(spark, sf_dir, "embeddings")
-    km = kmeans(emb, "vec_id", "embedding", k=8, max_iter=10, seed=42)
-    return km.assignments.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
 
 
 def _kmeans_unrolled_sql(k: int = 8, iters: int = 10) -> str:
@@ -1434,6 +1467,36 @@ def export_rfc3339(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events").where(F.col("event_id") % 100 == 0)
     return ev.select("event_id", rfc3339("ts").alias("ts_rfc3339"))
+
+
+# =============================================================================
+# Driver-roster policy (README §catalog): the harness verifies the FIRST 50
+# catalog entries against their oracles at sf0.01. The catalog therefore
+# keeps ≤50 primary rows; the PARKED entries below stay registered (full
+# DuckDB-oracle pytest coverage via tests/test_queries_oracle.py, which
+# parametrizes over ALL of ORACLE_SQL) but sit after position 50 because
+# each is a strict subset of an in-window green row:
+#
+#   dedup_minhash_signatures — the signature relation feeding the in-window
+#     dedup_minhash_lsh band join (which hash-matches on those signatures);
+#   graph_cc_star_labels — same labels + oracle as the two in-window CC rows,
+#     via the large-star/small-star variant (own algorithm pytest oracle);
+#   graph_lpa_1iter — the l1 CTE of the in-window graph_lpa_2iter oracle;
+#   vector_centroid_assign — the assignment kernel inside the in-window
+#     vector_kmeans_10iter full-pipeline unroll.
+#
+# Adding a new primary row means consciously parking (or deleting) another —
+# never letting the window silently rotate.
+_PARKED = (
+    "dedup_minhash_signatures",
+    "graph_cc_star_labels",
+    "graph_lpa_1iter",
+    "vector_centroid_assign",
+)
+QUERY_FNS = {
+    **{k: v for k, v in QUERY_FNS.items() if k not in _PARKED},
+    **{k: QUERY_FNS[k] for k in _PARKED if k in QUERY_FNS},
+}
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
