@@ -574,3 +574,71 @@ def test_triangles_hub_split_matches_plain(spark):
         assert split.total == want_total, f"threshold={thr}"
         got_pv = {r["vid"]: r["triangles"] for r in split.per_vertex.collect()}
         assert got_pv == want_pv, f"threshold={thr}"
+
+
+def _labels_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(v), int(l)) for v, l in pairs], "vid long, label long"
+    )
+
+
+def _modularity_oracle(triples, labels):
+    """Pure-python Newman Q over the symmetrized summed-weight graph."""
+    s: dict[tuple[int, int], float] = {}
+    for a, b, w in triples:
+        if a == b:
+            continue
+        s[(a, b)] = s.get((a, b), 0.0) + w
+        s[(b, a)] = s.get((b, a), 0.0) + w
+    two_m = sum(s.values())
+    a_c: dict[int, float] = {}
+    e_in: dict[int, float] = {}
+    for (u, v), w in s.items():
+        c = labels[u]
+        a_c[c] = a_c.get(c, 0.0) + w
+        if labels[v] == c:
+            e_in[c] = e_in.get(c, 0.0) + w
+    q = sum(e_in.values()) / two_m - sum(a * a for a in a_c.values()) / (two_m * two_m)
+    return len(a_c), q
+
+
+def test_modularity_two_cliques_by_component(spark):
+    """Component partition of K3+K4: every edge internal, Q = 1 − Σ(a_c/2m)²
+    = 1 − (36+144)/324 = 4/9 exactly."""
+    from tiktok_whisper_spark.graph import modularity
+
+    labels = _labels_df(spark, [(v, 1) for v in (1, 2, 3)] + [(v, 10) for v in (10, 11, 12, 13)])
+    row = modularity(_edges_df(spark, TWO_CLIQUES), labels).collect()[0]
+    assert row["n_communities"] == 2
+    assert row["modularity"] == pytest.approx(4.0 / 9.0, abs=1e-12)
+
+
+def test_modularity_degenerate_partitions(spark):
+    """One community → Q = 0 exactly; all-singletons → Q = −Σ(a_v/2m)²
+    (= −4/27 on K3+K4: strengths 2×3 and 3×4, 2m = 18)."""
+    from tiktok_whisper_spark.graph import modularity
+
+    edges = _edges_df(spark, TWO_CLIQUES)
+    vids = sorted({v for t in TWO_CLIQUES for v in t[:2]})
+    one = modularity(edges, _labels_df(spark, [(v, 0) for v in vids])).collect()[0]
+    assert one["n_communities"] == 1 and one["modularity"] == 0.0
+    sing = modularity(edges, _labels_df(spark, [(v, v) for v in vids])).collect()[0]
+    assert sing["n_communities"] == len(vids)
+    assert sing["modularity"] == pytest.approx(-4.0 / 27.0, abs=1e-12)
+
+
+@pytest.mark.parametrize("name", ["weighted", "cycle_dangling", "hub_star"])
+def test_modularity_matches_oracle_on_lpa_labels(spark, name):
+    """Q of the 3-superstep LPA partition on directed/weighted graphs
+    (both-direction pairs, fractional weights, hubs) vs the pure-python
+    oracle — exercises the symmetrize-and-sum path end to end."""
+    from tiktok_whisper_spark.graph import modularity
+
+    triples = GRAPHS[name]
+    df = _edges_df(spark, triples)
+    run = label_propagation(df, max_iter=3)
+    labels = {r["vid"]: r["label"] for r in run.state.collect()}
+    want_n, want_q = _modularity_oracle(triples, labels)
+    row = modularity(df, run.state.select("vid", "label")).collect()[0]
+    assert row["n_communities"] == want_n
+    assert row["modularity"] == pytest.approx(want_q, abs=1e-12)

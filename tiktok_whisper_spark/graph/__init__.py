@@ -2,6 +2,7 @@
 
 from .cc import connected_components, connected_components_star
 from .lpa import label_propagation
+from .metrics import modularity
 from .pagerank import pagerank
 from .runner import GraphRun, run_supersteps
 from .triangles import triangle_counts
@@ -11,6 +12,7 @@ __all__ = [
     "connected_components",
     "connected_components_star",
     "label_propagation",
+    "modularity",
     "pagerank",
     "run_supersteps",
     "triangle_counts",

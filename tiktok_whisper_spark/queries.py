@@ -984,14 +984,36 @@ def graph_triangle_count(spark, sf_dir):
     return spark.createDataFrame([(res.total,)], "n_triangles long")
 
 
-def _lpa_communities_sql(iters: int = 10) -> str:
-    """Chained-CTE unroll of ``iters`` synchronous LPA supersteps over the
-    event-adjacency graph, with vertex ids assigned by ALPHABETICAL NAME
+def _event_adjacency_dense_ids(spark, sf_dir):
+    """Event-adjacency graph with dense alphabetical-name-rank vertex ids
+    (the oracle-replayable id scheme): returns ``(ids(name, vid),
+    edges(src, dst, weight))``."""
+    named = _event_adjacency_named(spark, sf_dir)
+    names = (
+        named.select(F.col("src_name").alias("name"))
+        .unionByName(named.select(F.col("dst_name").alias("name")))
+        .distinct()
+    )
+    # global row_number over ~|event types| names — a handful of rows, the
+    # single-partition window is deliberate
+    ids = names.select(
+        "name", F.row_number().over(Window.orderBy("name")).alias("vid")
+    )
+    src_ids = ids.select(F.col("name").alias("src_name"), F.col("vid").alias("src"))
+    dst_ids = ids.select(F.col("name").alias("dst_name"), F.col("vid").alias("dst"))
+    edges = named.join(src_ids, "src_name").join(dst_ids, "dst_name").select(
+        "src", "dst", "weight"
+    )
+    return ids, edges
+
+
+def _lpa_cte_chain(iters: int) -> str:
+    """Shared CTE prefix unrolling ``iters`` synchronous LPA supersteps over
+    the event-adjacency graph, with vertex ids assigned by ALPHABETICAL NAME
     RANK (replayable in any engine, unlike xxhash64 vertex ids) so the
-    min-label tie-break agrees bit-for-bit. Unrolling exactly max_iter
-    steps equals the run-to-convergence result: a converged state maps to
-    itself under further supersteps, and a 2-cycle is reproduced
-    identically by both engines."""
+    min-label tie-break agrees bit-for-bit. Exposes ``s`` (the symmetrized
+    summed-weight ordered-pair relation), ``ids`` and ``l{iters}`` to the
+    caller's tail SELECT."""
     parts = [
         _ADJ_EDGES_SQL + ", "
         "v AS (SELECT DISTINCT name FROM (SELECT src_name AS name FROM e "
@@ -1011,11 +1033,37 @@ def _lpa_communities_sql(iters: int = 10) -> str:
             f", l{i} AS (SELECT vid, label FROM (SELECT vid, label, row_number() OVER "
             f"(PARTITION BY vid ORDER BY votes DESC, label ASC) AS rn FROM v{i}) WHERE rn = 1)"
         )
-    parts.append(
-        f" SELECT i.name, c.name AS community FROM l{iters} l "
+    return "".join(parts)
+
+
+def _lpa_communities_sql(iters: int = 10) -> str:
+    """Unrolling exactly max_iter steps equals the run-to-convergence
+    result: a converged state maps to itself under further supersteps, and
+    a 2-cycle is reproduced identically by both engines."""
+    return (
+        _lpa_cte_chain(iters)
+        + f" SELECT i.name, c.name AS community FROM l{iters} l "
         "JOIN ids i ON i.vid = l.vid JOIN ids c ON c.vid = l.label"
     )
-    return "".join(parts)
+
+
+def _modularity_sql(iters: int = 10) -> str:
+    """Newman modularity of the unrolled-LPA partition, computed over the
+    same symmetrized relation ``s`` the votes flowed through: per community
+    ``a_c = Σ_{src∈c} w`` and ``e_in_c = Σ_{src∈c,dst∈c} w``, then
+    ``Q = Σe_in/Σa − Σa² / (Σa)²``. Weights are integer counts, so every
+    sum is float64-exact and the two divisions are bit-identical across
+    engines; ``_r6`` rounding on top matches the Spark side."""
+    return (
+        _lpa_cte_chain(iters)
+        + f", mm AS (SELECT ls.label AS c_src, ld.label AS c_dst, s.w FROM s "
+        f"JOIN l{iters} ls ON ls.vid = s.src JOIN l{iters} ld ON ld.vid = s.dst), "
+        "pc AS (SELECT c_src, sum(w) AS a_c, "
+        "sum(CASE WHEN c_src = c_dst THEN w ELSE 0 END) AS e_in FROM mm GROUP BY c_src) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_communities, "
+        "round(sum(e_in) / sum(a_c) - sum(a_c * a_c) / (sum(a_c) * sum(a_c)) + 1e-9, 6) "
+        "AS modularity FROM pc"
+    )
 
 
 @_register("graph_lpa_communities", _lpa_communities_sql(10))
@@ -1028,22 +1076,7 @@ def graph_lpa_communities(spark, sf_dir):
     (post-convergence supersteps are fixpoints in both engines)."""
     from .graph import label_propagation
 
-    named = _event_adjacency_named(spark, sf_dir)
-    names = (
-        named.select(F.col("src_name").alias("name"))
-        .unionByName(named.select(F.col("dst_name").alias("name")))
-        .distinct()
-    )
-    # global row_number over ~|event types| names — a handful of rows, the
-    # single-partition window is deliberate
-    ids = names.select(
-        "name", F.row_number().over(Window.orderBy("name")).alias("vid")
-    )
-    src_ids = ids.select(F.col("name").alias("src_name"), F.col("vid").alias("src"))
-    dst_ids = ids.select(F.col("name").alias("dst_name"), F.col("vid").alias("dst"))
-    edges = named.join(src_ids, "src_name").join(dst_ids, "dst_name").select(
-        "src", "dst", "weight"
-    )
+    ids, edges = _event_adjacency_dense_ids(spark, sf_dir)
     store = CheckpointStore(tempfile.mkdtemp(prefix="twspark_q_lpa_"))
     run = label_propagation(edges, max_iter=10, store=store, resume=False, checkpoint_every=10)
     shutil.rmtree(store.root, ignore_errors=True)
@@ -1053,6 +1086,28 @@ def graph_lpa_communities(spark, sf_dir):
         .join(lbl_names, "label")
         .select("name", "community")
     )
+
+
+@_register("graph_modularity", _modularity_sql(10))
+def graph_modularity(spark, sf_dir):
+    """Newman modularity of the LPA communities over the event-adjacency
+    graph — the partition-quality number next to the membership surface
+    (reference analog: per-cluster cohesion stats, clustering.js:331-361).
+    Same dense-id edges and 10-superstep LPA run as ``graph_lpa_communities``;
+    the oracle replays both the label chain AND the Q aggregation in ANSI
+    SQL over the identical symmetrized relation."""
+    from .graph import label_propagation, modularity
+
+    _ids, edges = _event_adjacency_dense_ids(spark, sf_dir)
+    store = CheckpointStore(tempfile.mkdtemp(prefix="twspark_q_mod_"))
+    run = label_propagation(edges, max_iter=10, store=store, resume=False, checkpoint_every=10)
+    q = modularity(edges, run.state.select("vid", "label"))
+    out = q.select(
+        F.col("n_communities").cast("bigint").alias("n_communities"),
+        _r6("modularity").alias("modularity"),
+    ).localCheckpoint()
+    shutil.rmtree(store.root, ignore_errors=True)
+    return out
 
 
 def _kmeans_unrolled_sql(k: int = 8, iters: int = 10) -> str:
@@ -1483,7 +1538,10 @@ def export_rfc3339(spark, sf_dir):
 #     via the large-star/small-star variant (own algorithm pytest oracle);
 #   graph_lpa_1iter — the l1 CTE of the in-window graph_lpa_2iter oracle;
 #   vector_centroid_assign — the assignment kernel inside the in-window
-#     vector_kmeans_10iter full-pipeline unroll.
+#     vector_kmeans_10iter full-pipeline unroll;
+#   vector_pairwise_similarity — the same HOF cosine expression the in-window
+#     vector_knn_cosine ranks with, applied to one (id1, id2) pair (parked
+#     round 5 to admit graph_modularity; green through r4).
 #
 # Adding a new primary row means consciously parking (or deleting) another —
 # never letting the window silently rotate.
@@ -1492,6 +1550,7 @@ _PARKED = (
     "graph_cc_star_labels",
     "graph_lpa_1iter",
     "vector_centroid_assign",
+    "vector_pairwise_similarity",
 )
 QUERY_FNS = {
     **{k: v for k, v in QUERY_FNS.items() if k not in _PARKED},

@@ -24,7 +24,30 @@ import zipfile
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "stop_spark", "ship_package"]
+__all__ = ["get_spark", "stop_spark", "ship_package", "build_pkg_zip"]
+
+
+def build_pkg_zip(zpath: str) -> str:
+    """Write this package as a ``--py-files``-ready zip at ``zpath``.
+
+    The same artifact serves both deployment surfaces: ``spark-submit
+    --py-files twspark.zip job.py`` on a cluster (exercised end-to-end by
+    ``tests/test_spark_submit.py``) and the runtime ``sc.addPyFile`` below.
+    Deterministic content (sorted .py files only), atomic publish.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    tmp = zpath + ".tmp"
+    with zipfile.ZipFile(tmp, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "tiktok_whisper_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    z.write(full, rel)
+    os.replace(tmp, zpath)
+    return zpath
 
 
 def ship_package(spark: SparkSession) -> None:
@@ -40,22 +63,16 @@ def ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_twspark_shipped", False):
         return
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(os.path.dirname(os.path.abspath(__file__))):
+        # imported from a zip: the package already reached the workers via
+        # spark-submit --py-files; nothing on the local fs to re-ship
+        sc._twspark_shipped = True
+        return
     zpath = os.path.join(
         tempfile.gettempdir(), f"tiktok_whisper_spark_pkg_{os.getpid()}.zip"
     )
     if not os.path.exists(zpath):
-        tmp = zpath + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as z:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in sorted(files):
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.join(
-                            "tiktok_whisper_spark", os.path.relpath(full, pkg_dir)
-                        )
-                        z.write(full, rel)
-        os.replace(tmp, zpath)
+        build_pkg_zip(zpath)
     sc.addPyFile(zpath)
     sc._twspark_shipped = True
 
