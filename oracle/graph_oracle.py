@@ -31,12 +31,20 @@ def _index(edges: list[Edge]) -> tuple[list[int], dict[int, int]]:
 
 
 def pagerank_oracle(
-    edges: list[Edge], damping: float = 0.85, tol: float = 1e-6, max_iter: int = 100
+    edges: list[Edge],
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    teleport_seeds: list[int] | None = None,
 ) -> dict[int, float]:
     """Weighted power iteration with dangling-mass redistribution.
 
-    r'(v) = (1-d)/N + d * (Σ_u p(u→v) r(u) + D/N),  D = Σ_{dangling} r(u),
-    p(u→v) = w(u,v)/Σ_x w(u,x), stop at L∞ < tol.
+    r'(v) = (1-d)·t(v) + d * (Σ_u p(u→v) r(u) + D·t(v)),
+    D = Σ_{dangling} r(u), p(u→v) = w(u,v)/Σ_x w(u,x), stop at L∞ < tol.
+    t is uniform (1/N) for global PageRank, or uniform over
+    ``teleport_seeds`` for the personalized variant. Init is 1/N in BOTH
+    cases (matching the engine): the fixpoint is init-independent for d<1,
+    and fixed-iteration comparisons replay the same trajectory.
     """
     vids, idx = _index(edges)
     n = len(vids)
@@ -48,6 +56,11 @@ def pagerank_oracle(
         out_w[s] += wt
     dangling = out_w == 0.0
 
+    t = np.full(n, 1.0 / n)
+    if teleport_seeds is not None:
+        t = np.zeros(n)
+        t[[idx[v] for v in teleport_seeds]] = 1.0 / len(set(teleport_seeds))
+
     r = np.full(n, 1.0 / n)
     items = [(s, d_, wt / out_w[s]) for (s, d_), wt in w.items()]
     src = np.array([s for s, _, _ in items], dtype=np.int64)
@@ -58,7 +71,7 @@ def pagerank_oracle(
     for _ in range(max_iter):
         contrib = np.zeros(n)
         np.add.at(contrib, dst, p * r[src])
-        r_new = (1.0 - d) / n + d * (contrib + r[dangling].sum() / n)
+        r_new = (1.0 - d) * t + d * (contrib + r[dangling].sum() * t)
         if np.max(np.abs(r_new - r)) < tol:
             r = r_new
             break

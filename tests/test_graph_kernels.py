@@ -642,3 +642,97 @@ def test_modularity_matches_oracle_on_lpa_labels(spark, name):
     row = modularity(df, run.state.select("vid", "label")).collect()[0]
     assert row["n_communities"] == want_n
     assert row["modularity"] == pytest.approx(want_q, abs=1e-12)
+
+
+@pytest.mark.parametrize("name,seeds", [
+    ("weighted", [1]),
+    ("weighted", [2, 4]),
+    ("cycle_dangling", [5]),       # dangling-only seed: D·t feedback loop
+    ("hub_star", [1000, 7]),       # hub + leaf seed mix
+])
+@pytest.mark.parametrize("mode", ["csr", "arrow"])
+def test_ppr_matches_oracle(spark, name, seeds, mode):
+    """Personalized PageRank (seed-uniform teleport + dangling mass) vs the
+    NumPy oracle, through both shuffle scatter paths."""
+    triples = GRAPHS[name]
+    # tol 1e-10 at damping .85 needs ~140 supersteps (geometric rate)
+    run = pagerank(
+        _edges_df(spark, triples), scatter_mode=mode, teleport_seeds=seeds,
+        tol=1e-10, max_iter=250,
+    )
+    assert run.converged
+    got = {r["vid"]: r["rank"] for r in run.state.collect()}
+    want = pagerank_oracle(triples, tol=1e-10, max_iter=250, teleport_seeds=seeds)
+    vids = sorted(want)
+    np.testing.assert_allclose(
+        [got[v] for v in vids], [want[v] for v in vids], atol=1e-8, rtol=0
+    )
+    # teleport + dangling mass both land on seeds only → total mass stays 1
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_ppr_uniform_seed_set_equals_global(spark):
+    """Seeding EVERY vertex reproduces global PageRank exactly (t ≡ 1/N)."""
+    triples = GRAPHS["weighted"]
+    vids = sorted({v for t in triples for v in t[:2]})
+    df = _edges_df(spark, triples)
+    g = pagerank(df, tol=1e-12)
+    p = pagerank(df, tol=1e-12, teleport_seeds=vids)
+    gg = {r["vid"]: r["rank"] for r in g.state.collect()}
+    pp = {r["vid"]: r["rank"] for r in p.state.collect()}
+    for v in gg:
+        assert abs(gg[v] - pp[v]) < 1e-12
+
+
+def test_ppr_missing_seed_raises(spark):
+    with pytest.raises(ValueError, match="teleport seed"):
+        pagerank(_edges_df(spark, GRAPHS["weighted"]), teleport_seeds=[999])
+    with pytest.raises(ValueError, match="empty"):
+        pagerank(_edges_df(spark, GRAPHS["weighted"]), teleport_seeds=[])
+
+
+def test_ppr_local_mode_matches_dataframe_and_oracle(spark, tmp_path):
+    """Local-mode PPR (seed constants folded into the file-superstep update,
+    seeds in the params file) ≡ csr path ≡ oracle; resume under a different
+    seed set refuses."""
+    from tiktok_whisper_spark import datagen
+    from tiktok_whisper_spark.operators.edges import turn_adjacency_edges, turn_tool_edges
+    from tiktok_whisper_spark.sources.catalog import CheckpointStore
+
+    t = datagen.transcripts(spark, n_convs=120, seed=7)
+    e_home = (
+        turn_adjacency_edges(t, include_home=True)
+        .unionByName(turn_tool_edges(t, include_home=True))
+        .localCheckpoint()
+    )
+    # seed on two tool hubs (remote-heavy) + one turn vertex (local-heavy)
+    some = sorted(r["dst"] for r in e_home.select("dst").distinct().limit(3).collect())
+    store = CheckpointStore(str(tmp_path / "l"))
+    r_local = pagerank(
+        e_home, scatter_mode="local", teleport_seeds=some,
+        store=store, run_id="ppr-l", resume=False,
+    )
+    r_csr = pagerank(
+        e_home.select("src", "dst", "weight"), scatter_mode="csr",
+        teleport_seeds=some, store=CheckpointStore(str(tmp_path / "c")), resume=False,
+    )
+    assert r_local.converged and r_csr.converged
+    gl = {r["vid"]: r["rank"] for r in r_local.state.collect()}
+    gc = {r["vid"]: r["rank"] for r in r_csr.state.collect()}
+    assert gl.keys() == gc.keys()
+    for v in gl:
+        assert abs(gl[v] - gc[v]) < 1e-12
+    triples = [(r["src"], r["dst"], r["weight"]) for r in e_home.collect()]
+    want = pagerank_oracle(triples, teleport_seeds=some)
+    np.testing.assert_allclose(
+        [gl[v] for v in sorted(gl)], [want[v] for v in sorted(want)], atol=1e-6
+    )
+    # same run_id, different seeds → refuse (silent blend of two recurrences)
+    with pytest.raises(RuntimeError, match="teleport-seed"):
+        pagerank(
+            e_home, scatter_mode="local", teleport_seeds=some[:1],
+            store=store, run_id="ppr-l", resume=True,
+        )
+    # ...and a global resume against a PPR run refuses too
+    with pytest.raises(RuntimeError, match="teleport-seed"):
+        pagerank(e_home, scatter_mode="local", store=store, run_id="ppr-l", resume=True)

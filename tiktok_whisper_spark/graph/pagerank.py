@@ -4,10 +4,13 @@ Semantics (matched exactly by the NumPy oracle in ``oracle/graph_oracle.py``):
 
 * edge weights are combined per (src, dst) and row-normalized per src:
   ``p(u→v) = w(u,v) / Σ_x w(u,x)``;
-* damping ``d`` (default 0.85), uniform teleport;
+* damping ``d`` (default 0.85), uniform teleport — or seed-uniform teleport
+  when ``teleport_seeds`` is given (personalized PageRank: teleport AND
+  dangling mass land only on the seeds, ``r' = (1-d)·t + d·(gather + D·t)``);
 * **dangling mass redistribution** — vertices with no out-edges spread their
-  rank uniformly: ``r'(v) = (1-d)/N + d·(Σ_u p(u→v)·r(u) + D/N)`` where
-  ``D = Σ_{dangling u} r(u)`` from the previous superstep;
+  rank over the teleport vector: ``r'(v) = (1-d)/N + d·(Σ_u p(u→v)·r(u) + D/N)``
+  in the uniform case, where ``D = Σ_{dangling u} r(u)`` from the previous
+  superstep;
 * convergence: ``L∞(r' - r) < tol`` (default 1e-6), float64 throughout.
 
 The reference motivates the graph: its duplicate/similarity graph and the
@@ -44,7 +47,7 @@ import os
 import tempfile
 import uuid
 import zlib
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 from typing import Any
 
 import numpy as np
@@ -80,8 +83,19 @@ def pagerank(
     num_salts: int = 8,
     hot_threshold: int | None = None,
     checkpoint_every: int = 1,
+    teleport_seeds: Sequence[int] | None = None,
 ) -> GraphRun:
     """Run PageRank over ``edges(src, dst, weight, ...)`` to convergence.
+
+    ``teleport_seeds`` switches to personalized PageRank: teleport (and
+    dangling) mass lands uniformly on the seed vertices instead of 1/N
+    everywhere — ``r' = (1-d)·t + d·(gather + D·t)`` with ``t`` the
+    seed-uniform vector. Init stays 1/N (the d<1 fixpoint is
+    init-independent; fixed-iteration oracles replay the same trajectory).
+    Seeds must exist in the graph (raises otherwise — a silent miss would
+    leak rank mass). All scatter modes support it; the seed set rides as a
+    broadcast-sized codegen predicate (csr/salted) or a sorted array in the
+    per-superstep params file (local), never a per-row Python call.
 
     Returns a :class:`GraphRun` whose ``state`` has
     ``(vid:long, rank:double, prev_rank:double, dangling:boolean)``
@@ -109,6 +123,7 @@ def pagerank(
             run_id=run_id,
             resume=resume,
             num_partitions=num_partitions,
+            teleport_seeds=teleport_seeds,
         )
 
     # -- one-time graph preparation (recomputed cheaply on resume) ----------
@@ -147,40 +162,68 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank: empty edge set")
 
+    seeds: list[int] | None = None
+    if teleport_seeds is not None:
+        seeds = sorted(set(int(s) for s in teleport_seeds))
+        if not seeds:
+            raise ValueError("pagerank: teleport_seeds is empty")
+        n_hit = vertices.where(F.col("vid").isin(seeds)).count()
+        if n_hit != len(seeds):
+            raise ValueError(
+                f"pagerank: {len(seeds) - n_hit} teleport seed(s) not in the "
+                "graph — rank mass would silently leak"
+            )
+
     def init_fn() -> tuple[DataFrame, dict]:
-        state = vertices.select(
-            "vid",
+        cols = [
+            F.col("vid"),
             F.lit(1.0 / n).alias("rank"),
             F.lit(1.0 / n).alias("prev_rank"),
             (~F.col("has_out")).alias("dangling"),
-        )
-        return state, {}
+        ]
+        if seeds is not None:
+            # teleport weight as a state column: one codegen'd IN-list at
+            # init, then it rides the vid partitioning — no per-superstep join
+            cols.append(
+                F.when(F.col("vid").isin(seeds), F.lit(1.0 / len(seeds)))
+                .otherwise(F.lit(0.0))
+                .alias("t")
+            )
+        return vertices.select(*cols), {}
 
     def step_fn(state: DataFrame, carry: dict, k: int) -> DataFrame:
         d = damping
-        dangling_per_vertex = carry["dangling_sum"] / n
         if scatter_mode == "csr":
             sums = csr_gather(state.select("vid", "rank"), shard_dir)
         else:
             sums = scatter_gather(
                 pe, state.select("vid", "rank"), F.col("p") * F.col("rank"), mode=scatter_mode
             )
+        gathered = F.coalesce(sums["c"], F.lit(0.0))
+        if seeds is not None:
+            rank = (
+                F.lit(1.0 - d) * state["t"]
+                + F.lit(d) * (gathered + F.lit(carry["dangling_sum"]) * state["t"])
+            )
+        else:
+            rank = F.lit((1.0 - d) / n) + F.lit(d) * (
+                gathered + F.lit(carry["dangling_sum"] / n)
+            )
         # both sides are hash-partitioned on the join key (state by vid from
         # localCheckpoint, sums by dst from the gather groupBy) — the
         # shuffle_hash hint turns the exchange-free SMJ into an exchange-free
         # hash join, skipping two vertex-sized sorts per superstep.
-        return (
-            state.join(sums.hint("shuffle_hash"), state["vid"] == sums["dst"], "left_outer")
-            .select(
-                state["vid"],
-                (
-                    F.lit((1.0 - d) / n)
-                    + F.lit(d) * (F.coalesce(sums["c"], F.lit(0.0)) + F.lit(dangling_per_vertex))
-                ).alias("rank"),
-                state["rank"].alias("prev_rank"),
-                state["dangling"],
-            )
-        )
+        out_cols = [
+            state["vid"],
+            rank.alias("rank"),
+            state["rank"].alias("prev_rank"),
+            state["dangling"],
+        ]
+        if seeds is not None:
+            out_cols.append(state["t"])
+        return state.join(
+            sums.hint("shuffle_hash"), state["vid"] == sums["dst"], "left_outer"
+        ).select(*out_cols)
 
     # distributive per-partition partials, combined on the driver (evaluated
     # as a single observe row riding the materialization job)
@@ -541,6 +584,7 @@ def _pagerank_local_files(
     run_id: str,
     resume: bool,
     num_partitions: int,
+    teleport_seeds: Sequence[int] | None = None,
 ) -> GraphRun:
     """Conversation-locality PageRank: per-partition file supersteps.
 
@@ -574,6 +618,7 @@ def _pagerank_local_files(
         return _pagerank_local_files_inner(
             edges, damping=damping, tol=tol, max_iter=max_iter, store=store,
             run_id=run_id, resume=resume, num_partitions=num_partitions,
+            teleport_seeds=teleport_seeds,
         )
     finally:
         spark.conf.set(_aqe_key, _old_aqe)
@@ -589,6 +634,7 @@ def _pagerank_local_files_inner(
     run_id: str,
     resume: bool,
     num_partitions: int,
+    teleport_seeds: Sequence[int] | None = None,
 ) -> GraphRun:
     spark = edges.sparkSession
     P = num_partitions
@@ -661,6 +707,45 @@ def _pagerank_local_files_inner(
     pids = spark.range(P, numPartitions=n_tasks).select(F.col("id").cast("int").alias("pid"))
     sd = shard_dir
     static_dir = _static_dir(store, run_id, P)
+
+    seeds: list[int] | None = None
+    seed_crc: int | None = None
+    if teleport_seeds is not None:
+        seeds = sorted(set(int(x) for x in teleport_seeds))
+        if not seeds:
+            raise ValueError("pagerank: teleport_seeds is empty")
+        seed_crc = zlib.crc32(np.asarray(seeds, dtype=np.int64).tobytes())
+        if vertices is not None:
+            n_hit = vertices.where(F.col("vid").isin(seeds)).count()
+        else:
+            # warm run dir: the vertex universe lives in the (sorted) static
+            # vid files — one tiny job counts seed membership per partition
+            _seed_arr = seeds
+
+            def _seed_hits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                tot = 0
+                ss = np.asarray(_seed_arr, dtype=np.int64)
+                for pdf in batches:
+                    for pid in pdf["pid"].to_numpy():
+                        st = _read_state_part(static_dir, int(pid))
+                        if st is None:
+                            continue
+                        v = st.column("vid").to_numpy()
+                        if len(v):
+                            pos = np.minimum(np.searchsorted(v, ss), len(v) - 1)
+                            tot += int(np.count_nonzero(v[pos] == ss))
+                yield pd.DataFrame([{"hits": tot}])
+
+            n_hit = sum(
+                r["hits"]
+                for r in pids.mapInPandas(_seed_hits, schema="hits long").collect()
+            )
+        if n_hit != len(seeds):
+            raise ValueError(
+                f"pagerank: {len(seeds) - n_hit} teleport seed(s) not in the "
+                "graph — rank mass would silently leak"
+            )
+
     history: list[dict[str, Any]] = []
     carry: dict[str, Any] = {}
     resumed_from: int | None = None
@@ -749,6 +834,12 @@ def _pagerank_local_files_inner(
                     f"cannot resume local-mode run {run_id!r}: committed under "
                     f"{man_p} shuffle partitions, session has {P} — restart "
                     "with the original partition count or a fresh run_id"
+                )
+            if carry.get("ppr_crc") != seed_crc:
+                raise RuntimeError(
+                    f"cannot resume local-mode run {run_id!r}: committed with a "
+                    "different teleport-seed set — resuming would silently blend "
+                    "two different recurrences; use a fresh run_id"
                 )
             history = store.metrics_history(run_id)
             resumed_from = latest
@@ -857,6 +948,7 @@ def _pagerank_local_files_inner(
             "dangling_sum": sum(r["dangling_sum"] for r in metrics_rows),
             "remote": {str(k_): v for k_, v in remote.items()},
             "P": P,
+            "ppr_crc": seed_crc,
         }
         metrics.update(superstep=0, wall_ms=round(1000 * (_time.monotonic() - t0), 1))
         store.finalize(run_id, 0, lineage, metrics, carry)
@@ -880,6 +972,9 @@ def _pagerank_local_files_inner(
         prev_dir, next_dir = prm["prev_dir"], prm["next_dir"]
         recycle_dir = prm["recycle_dir"]
         dpv = float(prm["dpv"])
+        seeds_prm = prm.get("seeds")
+        seeds_np = np.asarray(seeds_prm, dtype=np.int64) if seeds_prm is not None else None
+        seed_add = float(prm["seed_add"]) if seeds_prm is not None else 0.0
         # hub contributions as sorted parallel arrays: applied per partition
         # with ONE np.searchsorted against the (sorted) static vids — no
         # per-hub Python loop, no vertex-sized hash reindex
@@ -927,7 +1022,17 @@ def _pagerank_local_files_inner(
                     local_c = np.zeros(len(vids))
                 mk("local", t0)
                 t0 = _t.perf_counter()
-                new_rank = base + d * (local_c + dpv)
+                if seeds_prm is None:
+                    new_rank = base + d * (local_c + dpv)
+                else:
+                    # personalized: teleport + dangling mass land ONLY on the
+                    # seed vertices (seed_add pre-folds (1-d)+d·D over |S|)
+                    new_rank = d * local_c
+                    if len(vids):
+                        pos = np.minimum(np.searchsorted(vids, seeds_np), len(vids) - 1)
+                        hit = np.asarray(vids[pos] == seeds_np)
+                        if hit.any():
+                            new_rank[pos[hit]] += seed_add
                 if len(rvids_g):
                     pos = np.searchsorted(vids, rvids_g)
                     pos_c = np.minimum(pos, len(vids) - 1)
@@ -978,6 +1083,12 @@ def _pagerank_local_files_inner(
                 # segments — k and k-1 stay durable, exactly what resume needs
                 "recycle_dir": _state_dir(store, run_id, k - 2) if k >= 2 else None,
                 "dpv": dpv,
+                "seeds": seeds,
+                "seed_add": (
+                    ((1.0 - d) + d * carry["dangling_sum"]) / len(seeds)
+                    if seeds is not None
+                    else 0.0
+                ),
                 "rvids": [x[0] for x in rv],
                 "rvals": [x[1] for x in rv],
             },
@@ -992,6 +1103,7 @@ def _pagerank_local_files_inner(
             "remote": {str(k_): v for k_, v in next_remote.items()},
             "_converged": converged,
             "P": P,
+            "ppr_crc": seed_crc,
         }
         metrics.update(superstep=k, wall_ms=round(1000 * (_time.monotonic() - t0), 1))
         if _instr:

@@ -838,6 +838,71 @@ def graph_pagerank_5iter(spark, sf_dir):
     return run.state.join(names, "vid").select("name", _r6("rank").alias("rank"))
 
 
+def _ppr5_sql() -> str:
+    """Chained-CTE unroll of 5 personalized-PageRank supersteps: teleport AND
+    dangling mass land only on the seed (the alphabetically-first vertex —
+    replayable in any engine), ``r' = (1-d)·t + d·(gather + D·t)``; init 1/N
+    exactly as the engine's."""
+    parts = [
+        _ADJ_EDGES_SQL + ", "
+        "ow AS (SELECT src_name AS name, sum(weight) AS out_w FROM e GROUP BY 1), "
+        "v AS (SELECT DISTINCT name FROM (SELECT src_name AS name FROM e "
+        "UNION ALL SELECT dst_name FROM e)), "
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v), "
+        "sd AS (SELECT min(name) AS sname FROM v), "
+        "p AS (SELECT e.src_name AS src, e.dst_name AS dst, e.weight / ow.out_w AS p "
+        "FROM e JOIN ow ON e.src_name = ow.name), "
+        "r0 AS (SELECT v.name, 1.0 / nn.n AS rank FROM v, nn)"
+    ]
+    for i in range(1, 6):
+        prev = f"r{i-1}"
+        parts.append(
+            f", d{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm FROM {prev} r "
+            f"LEFT JOIN ow ON r.name = ow.name WHERE ow.name IS NULL)"
+            f", s{i} AS (SELECT p.dst AS name, sum(p.p * r.rank) AS c "
+            f"FROM p JOIN {prev} r ON p.src = r.name GROUP BY p.dst)"
+            f", r{i} AS (SELECT v.name, 0.85 * coalesce(s.c, 0.0) + "
+            f"CASE WHEN v.name = sd.sname THEN 0.15 + 0.85 * d.dm ELSE 0.0 END AS rank "
+            f"FROM v CROSS JOIN sd CROSS JOIN d{i} d LEFT JOIN s{i} s ON v.name = s.name)"
+        )
+    parts.append(" SELECT name, round((rank) + 1e-9, 6) AS rank FROM r5")
+    return "".join(parts)
+
+
+@_register("graph_ppr_5iter", _ppr5_sql())
+def graph_ppr_5iter(spark, sf_dir):
+    """Personalized PageRank seeded on one vertex (the alphabetically-first
+    event name), 5 fixed supersteps through the full engine path — the
+    graph-native "similar items relative to THIS item" surface (reference
+    analog: per-item similarity search, pgvector.go:258-288), verified by
+    the chained-CTE SQL oracle."""
+    named = _event_adjacency_named(spark, sf_dir)
+    edges = named.select(
+        vertex_id("role", "src_name").alias("src"),
+        vertex_id("role", "dst_name").alias("dst"),
+        "weight",
+    )
+    names = (
+        named.select(F.col("src_name").alias("name"))
+        .unionByName(named.select(F.col("dst_name").alias("name")))
+        .distinct()
+        .select(vertex_id("role", "name").alias("vid"), "name")
+    )
+    seed_vid = names.agg(F.min_by("vid", "name")).collect()[0][0]
+    store = CheckpointStore(tempfile.mkdtemp(prefix="twspark_q_ppr_"))
+    run = pagerank(
+        edges,
+        max_iter=5,
+        tol=1e-18,  # never converges early → exactly 5 supersteps
+        store=store,
+        resume=False,
+        checkpoint_every=5,
+        teleport_seeds=[seed_vid],
+    )
+    shutil.rmtree(store.root, ignore_errors=True)
+    return run.state.join(names, "vid").select("name", _r6("rank").alias("rank"))
+
+
 _SP_EDGES_SQL = (
     "WITH e AS (SELECT DISTINCT l_suppkey * 10 + 1 AS src, l_partkey * 10 + 2 AS dst "
     "FROM lineitem WHERE l_partkey % 20 = 0)"
@@ -1541,7 +1606,11 @@ def export_rfc3339(spark, sf_dir):
 #     vector_kmeans_10iter full-pipeline unroll;
 #   vector_pairwise_similarity — the same HOF cosine expression the in-window
 #     vector_knn_cosine ranks with, applied to one (id1, id2) pair (parked
-#     round 5 to admit graph_modularity; green through r4).
+#     round 5 to admit graph_modularity; green through r4);
+#   graph_lpa_2iter — its oracle is the l2 prefix of the in-window
+#     graph_lpa_communities l10 chain, and the in-window graph_lpa_local_2iter
+#     hash-matches the identical 2-superstep labels through the local engine
+#     (parked round 5 to admit graph_ppr_5iter; green through r4).
 #
 # Adding a new primary row means consciously parking (or deleting) another —
 # never letting the window silently rotate.
@@ -1549,6 +1618,7 @@ _PARKED = (
     "dedup_minhash_signatures",
     "graph_cc_star_labels",
     "graph_lpa_1iter",
+    "graph_lpa_2iter",
     "vector_centroid_assign",
     "vector_pairwise_similarity",
 )
