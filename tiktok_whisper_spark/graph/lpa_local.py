@@ -10,19 +10,25 @@ EXACTLY — synchronous, weighted, max-votes-then-min-label):
 * every superstep builds ONE vote pool per partition — local symmetric
   edges (labels from the previous segment) concatenated with hub→local
   votes (hub labels of the previous superstep via the params file) — and
-  resolves it with a single hash groupby + stable sort, so each vertex's
-  winner sees ALL its votes in one summation;
+  resolves it so each vertex's winner sees ALL its votes in one summation:
+  small-degree targets (almost all of a transcript graph) through the
+  compile-time padded slot table (fixed-width K² vectorized pass, no sort,
+  no hash), big targets through the packed radix-key sort path;
 * votes ON a hub aggregate across partitions — and UNLIKE PageRank/CC's
   per-hub scalar exchange, hub votes are ``(hub × label)``-cardinality
   (≈ one triple per remote edge while labels are still distinct), so they
   must NEVER flow through the driver OR through a row-oriented shuffle.
   The exchange is file supersteps all the way down: each task writes its
-  raw vote triples into P hub-sliced binary segments (slot = hub-index
-  mod P, superstep-stamped, atomic publish), and a second tiny job's task
-  j reads slice j of every partition's segment, resolves winners with one
-  pandas groupby + stable sort (exactly ``lpa.py``'s total order), and
-  returns only the ≤ #hubs winner rows to the driver. Nothing edge-sized
-  crosses Arrow, the JVM, or a Spark shuffle. Crucially the partition
+  raw vote triples into P slot-sliced binary segments — slot = hash of the
+  (hub, LABEL) pair mod P, superstep-stamped, atomic publish — so a Zipf
+  hub's votes spread across all P slices while every pair's sum stays
+  complete within one slice. A second tiny job's task j reads slice j of
+  every partition's segment, reduces per-pair sums in NumPy (radix-key
+  sort + reduceat), and returns its per-hub BEST (label, Σw) candidates;
+  the driver merges the ≤ P×#hubs candidates with the exact total order
+  (max Σw, then min label — per-slice bests are sufficient because the
+  (hub, label) space is partitioned). Nothing edge-sized crosses Arrow,
+  the JVM, or a Spark shuffle. Crucially the partition
   OWNING a hub reports that hub's COMPLETE incident-vote multiset share:
   its local-edge votes AND the gather-direction votes of its own remote
   edges (see ``_votes_on_hubs``) — a missed vote would silently flip a
@@ -34,11 +40,11 @@ EXACTLY — synchronous, weighted, max-votes-then-min-label):
   report from labels_0 with that universe known — so superstep 1's winners
   include owner-local votes too.
 
-Float caveat: hub vote sums reduce per winner-slot via one pandas groupby
-over partition-ordered triples, the DataFrame path reduces through Spark
-partial aggregation — both are float64 sums, but the grouping differs, so
-a *fractional*-weight graph whose top-two vote sums differ by < 1 ulp
-could tie-break differently. Integer-valued weights (this engine's
+Float caveat: hub vote sums reduce per winner-slot via NumPy reduceat over
+partition-ordered triples, the DataFrame path reduces through Spark
+partial aggregation — both are float64 sums, but the association order
+differs, so a *fractional*-weight graph whose top-two vote sums differ by
+< 1 ulp could tie-break differently. Integer-valued weights (this engine's
 transcript graphs) are exact.
 """
 
@@ -76,7 +82,17 @@ __all__ = ["lpa_local_files"]
 
 _LPA_SCHEMA = "pid int, n_rows long, checksum long, changed long, h long"
 
-_LPA_OPT = ("l_to", "l_from", "l_w", "r_src_pos", "r_hubcode", "r_w", "r_dst_uniq")
+_LPA_OPT = (
+    "l_to", "l_from", "l_w", "r_src_pos", "r_hubcode", "r_w", "r_dst_uniq",
+    # padded small-degree vote-slot table (v2 compile): almost every non-hub
+    # vertex of a transcript graph receives <= _PAD_K votes (2 adjacency
+    # neighbours + a few tool gathers), so its winner is computed with a
+    # fixed-width K^2 vectorized pass instead of any sort/hash over the
+    # ~|edges|-row vote relation -- the measured superstep floor
+    "all_w", "p_targets", "p_slots", "b_to", "b_idx",
+)
+
+_PAD_K = 8
 
 _LPA_CACHE: dict = {}
 
@@ -91,8 +107,8 @@ def _lpa_cdir(static_dir: str, pid: int) -> str:
             "twspark_shard_cache",
             hashlib.md5(static_dir.encode()).hexdigest(),
         )
-        return os.path.join(root, f"lpaalign-{pid:05d}-v1")
-    return os.path.join(static_dir, f"lpaalign-{pid:05d}-v1")
+        return os.path.join(root, f"lpaalign-{pid:05d}-v2")
+    return os.path.join(static_dir, f"lpaalign-{pid:05d}-v2")
 
 
 def _compile_lpa_aligned(static_dir: str, sd: str, pid: int, cdir: str) -> bool:
@@ -135,6 +151,44 @@ def _compile_lpa_aligned(static_dir: str, sd: str, pid: int, cdir: str) -> bool:
         out["r_hubcode"] = np.asarray(dst_codes, dtype=np.int32)
         out["r_w"] = np.asarray(w, dtype=np.float64)
         out["r_dst_uniq"] = np.asarray(dst_uniq)
+
+    # ---- padded vote-slot table over the virtual vote array [local|remote]
+    # (gather direction: remote edge src receives its dst hub's label). The
+    # structure is static, so the per-target slot assignment compiles once;
+    # each superstep then only gathers labels through it. Targets with more
+    # than _PAD_K votes (rare: hubs with local edges, fan-in turns) keep a
+    # target-sorted index list for the sort-path fallback.
+    tgt_parts = []
+    w_parts = []
+    if "l_to" in out:
+        tgt_parts.append(out["l_to"].astype(np.int64))
+        w_parts.append(out["l_w"])
+    if "r_src_pos" in out:
+        tgt_parts.append(out["r_src_pos"].astype(np.int64))
+        w_parts.append(out["r_w"])
+    if tgt_parts:
+        tgt = np.concatenate(tgt_parts) if len(tgt_parts) > 1 else tgt_parts[0]
+        out["all_w"] = np.concatenate(w_parts) if len(w_parts) > 1 else w_parts[0]
+        nv = len(vids)
+        cnt = np.bincount(tgt, minlength=nv)
+        order = np.argsort(tgt, kind="stable")
+        ts = tgt[order]
+        seg_start = np.zeros(nv + 1, dtype=np.int64)
+        np.cumsum(cnt, out=seg_start[1:])
+        rank = np.arange(len(ts), dtype=np.int64) - seg_start[ts]
+        small = (cnt > 0) & (cnt <= _PAD_K)
+        p_targets = np.flatnonzero(small).astype(np.int32)
+        row_of = np.full(nv, -1, dtype=np.int64)
+        row_of[p_targets] = np.arange(len(p_targets))
+        sel = small[ts]
+        slots = np.full((len(p_targets), _PAD_K), -1, dtype=np.int32)
+        slots[row_of[ts[sel]], rank[sel]] = order[sel].astype(np.int32)
+        out["p_targets"] = p_targets
+        out["p_slots"] = slots
+        big_sel = ~sel & (cnt[ts] > 0)
+        if big_sel.any():
+            out["b_to"] = ts[big_sel].astype(np.int32)
+            out["b_idx"] = order[big_sel].astype(np.int32)
     os.makedirs(os.path.dirname(cdir), exist_ok=True)
     tmp = _tf.mkdtemp(dir=os.path.dirname(cdir), prefix="_lpaalign_")
     for name, arr in out.items():
@@ -173,14 +227,87 @@ def _load_lpa_aligned(static_dir: str, sd: str, pid: int):
     return ent
 
 
-def _winners(to: np.ndarray, lab: np.ndarray, w: np.ndarray):
-    """(positions, labels) of per-vertex vote winners: max Σw, then min label
-    — the exact total order of ``lpa.py``'s row_number window."""
-    df = pd.DataFrame({"t": to, "l": lab, "w": w})
-    g = df.groupby(["t", "l"], sort=False, as_index=False)["w"].sum()
-    g = g.sort_values(["t", "w", "l"], ascending=[True, False, True], kind="stable")
-    win = g.drop_duplicates("t")
-    return win["t"].to_numpy(), win["l"].to_numpy()
+def _winners(to: np.ndarray, lab: np.ndarray, w: np.ndarray, return_sums: bool = False):
+    """(targets, labels) of per-target vote winners: max Σw, then min label
+    — the exact total order of ``lpa.py``'s row_number window.
+
+    Pure NumPy (no pandas hash-groupby, no full three-column sort — the
+    measured dominant cost of a superstep at 233M edges): dense-code the
+    label values (``np.unique`` — order-preserving, so code order == label
+    order), pack ``(target, lcode)`` into ONE int64 key, radix-sort it
+    (``kind="stable"`` on ints), segment-sum with ``add.reduceat``, then
+    pick each target's winner with ``maximum.reduceat`` + a vectorized
+    first-hit scan. Ascending keys put label codes ascending within each
+    target, so the FIRST max-sum hit IS the min-label tie-break. Float
+    caveat unchanged (module docstring): sums are float64 in a different
+    association order than Spark's partial aggregation.
+    """
+    if not len(to):
+        return (to, lab, w) if return_sums else (to, lab)
+    tmax = int(to.max())
+    lmin, lmax = int(lab.min()), int(lab.max())
+    span = lmax - lmin + 1
+    lab_uniq = None
+    if (tmax + 1) * span < 2**62:  # python ints: no overflow in the guard
+        # tier 1 (the transcript graphs: vertex-id labels, bounded span):
+        # pack raw values, no label coding pass at all
+        key = to.astype(np.int64) * np.int64(span) + (lab.astype(np.int64) - lmin)
+        nl = np.int64(span)
+    else:
+        lab_uniq, lcode = np.unique(lab, return_inverse=True)
+        nl = np.int64(len(lab_uniq))
+        if (tmax + 1) * len(lab_uniq) >= 2**62:
+            return _winners_lexsort(to, lab, w, return_sums)  # tier 3
+        key = to.astype(np.int64) * nl + lcode
+    # quicksort, not stable: equal keys are SUMMED, so their relative order
+    # is irrelevant (float association caveat already documented above)
+    order = np.argsort(key)
+    ks = key[order]
+    first = np.empty(len(ks), dtype=bool)
+    first[0] = True
+    np.not_equal(ks[1:], ks[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    sums = np.add.reduceat(w[order], starts)
+    gk = ks[starts]
+    gt = gk // nl
+    gl = gk % nl
+    tfirst = np.empty(len(gt), dtype=bool)
+    tfirst[0] = True
+    np.not_equal(gt[1:], gt[:-1], out=tfirst[1:])
+    tstarts = np.flatnonzero(tfirst)
+    smax = np.maximum.reduceat(sums, tstarts)
+    seg = np.cumsum(tfirst) - 1
+    idx = np.where(sums == smax[seg], np.arange(len(sums)), len(sums))
+    win_idx = np.minimum.reduceat(idx, tstarts)
+    wl = gl[win_idx]
+    labels_out = (wl + lmin) if lab_uniq is None else lab_uniq[wl]
+    targets_out = gt[tstarts].astype(to.dtype, copy=False)
+    if return_sums:
+        return targets_out, labels_out, smax  # winner's sum == segment max
+    return targets_out, labels_out
+
+
+def _winners_lexsort(to: np.ndarray, lab: np.ndarray, w: np.ndarray, return_sums: bool = False):
+    """Tier-3 fallback when (target, label) can't pack into one int64."""
+    order = np.lexsort((lab, to))
+    ts, ls = to[order], lab[order]
+    first = np.empty(len(ts), dtype=bool)
+    first[0] = True
+    first[1:] = (ts[1:] != ts[:-1]) | (ls[1:] != ls[:-1])
+    starts = np.flatnonzero(first)
+    sums = np.add.reduceat(w[order], starts)
+    gt, gl = ts[starts], ls[starts]
+    tfirst = np.empty(len(gt), dtype=bool)
+    tfirst[0] = True
+    np.not_equal(gt[1:], gt[:-1], out=tfirst[1:])
+    tstarts = np.flatnonzero(tfirst)
+    smax = np.maximum.reduceat(sums, tstarts)
+    seg = np.cumsum(tfirst) - 1
+    idx = np.where(sums == smax[seg], np.arange(len(sums)), len(sums))
+    win_idx = np.minimum.reduceat(idx, tstarts)
+    if return_sums:
+        return gt[tstarts].astype(to.dtype, copy=False), gl[win_idx], smax
+    return gt[tstarts].astype(to.dtype, copy=False), gl[win_idx]
 
 
 def _votes_on_hubs(lab_now, al, rvids, hub_lab_now):
@@ -265,9 +392,59 @@ def _vote_path(vdir: str, i: int, j: int) -> str:
     return os.path.join(vdir, f"v-{i:05d}-{j:05d}.bin")
 
 
+_SLOT_A = np.uint64(0x9E3779B97F4A7C15)
+_SLOT_B = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _vote_slot(hidx, l, P: int):
+    """Winner-slot of a vote: hash of (hub, LABEL) mod P. Slotting by hub
+    alone sent a Zipf hub's ENTIRE vote list to one single-threaded task
+    (measured 30 s on the hottest tool hub at 233M edges); keying the slot
+    by the (hub, label) pair spreads it across all P slices while keeping
+    every pair's sum complete within one slice — per-slice bests are then
+    sufficient for the exact global argmax."""
+    mixed = np.asarray(hidx, dtype=np.int64).astype(np.uint64) * _SLOT_A
+    mixed ^= np.asarray(l, dtype=np.int64).astype(np.uint64) * _SLOT_B
+    mixed ^= mixed >> np.uint64(33)
+    return (mixed % np.uint64(P)).astype(np.int64)
+
+
+def _reduce_votes(hidx, h, l, w):
+    """Sum this writer's votes per (hub, label) before they hit the files:
+    once labels concentrate, a single (hot hub, label) pair can hold tens of
+    millions of raw votes — complete-within-slice slotting would hand them
+    all to ONE winner task (measured 36 s). Reduced, the pair is one row per
+    writer (≤ P rows globally). Partial-then-total float summation matches
+    the documented association-order caveat; integer weights exact."""
+    hidx = np.asarray(hidx, dtype=np.int64)
+    l = np.asarray(l, dtype=np.int64)
+    w = np.asarray(w, dtype=np.float64)
+    lu, lc = np.unique(l, return_inverse=True)
+    if (int(hidx.max()) + 1) * len(lu) >= 2**62:
+        order = np.lexsort((lc, hidx))
+        hs_, ls_ = hidx[order], lc[order]
+        first = np.empty(len(hs_), dtype=bool)
+        first[0] = True
+        first[1:] = (hs_[1:] != hs_[:-1]) | (ls_[1:] != ls_[:-1])
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(w[order], starts)
+        return hidx[order][starts], h[order][starts], lu[ls_[starts]], sums
+    key = hidx * np.int64(len(lu)) + lc
+    order = np.argsort(key)
+    ks = key[order]
+    first = np.empty(len(ks), dtype=bool)
+    first[0] = True
+    np.not_equal(ks[1:], ks[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    sums = np.add.reduceat(w[order], starts)
+    gk = ks[starts]
+    return gk // len(lu), np.asarray(h)[order][starts], lu[gk % len(lu)], sums
+
+
 def _write_vote_files(vdir: str, pid: int, P: int, k: int, hidx, h, l, w) -> None:
     if len(h):
-        j_all = hidx % P
+        hidx, h, l, w = _reduce_votes(hidx, h, l, w)
+        j_all = _vote_slot(hidx, l, P)
         order = np.argsort(j_all, kind="stable")
         j_sorted = j_all[order]
         h, l, w = h[order], l[order], np.asarray(w, dtype=np.float64)[order]
@@ -334,15 +511,45 @@ def _read_vote_file(vdir: str, i: int, j: int, expect_k: int):
     return h, l, w
 
 
+_LAB_SENTINEL = np.iinfo(np.int64).max
+
+
+def _padded_winners(votes_lab, w_all, slots, chunk: int = 1 << 16):
+    """Winner label per slot-table row: max Σw then min label, computed with
+    a fixed-width K² vectorized pass over the padded (label, weight)
+    matrices — no sort, no hash table, cache-blocked row chunks. Pads carry
+    weight 0 and a sentinel label, so they never win; duplicate label
+    columns produce identical sums and the min() tie-break still lands on
+    the right value. Summation order per column is m=0..K-1 (float caveat
+    as in the module docstring; integer weights exact)."""
+    n, K = slots.shape
+    out = np.empty(n, dtype=np.int64)
+    for lo in range(0, n, chunk):
+        S = slots[lo : lo + chunk]
+        valid = S >= 0
+        idx = np.where(valid, S, 0)
+        L = np.where(valid, votes_lab[idx], _LAB_SENTINEL)
+        W = np.where(valid, w_all[idx], 0.0)
+        SS = np.empty(L.shape)
+        for j in range(K):
+            SS[:, j] = ((L == L[:, j : j + 1]) * W).sum(axis=1)
+        smax = SS.max(axis=1, keepdims=True)
+        out[lo : lo + chunk] = np.where(SS == smax, L, _LAB_SENTINEL).min(axis=1)
+    return out
+
+
 def _apply_lpa_kernel(labels, al, rvids, hub_prev, hub_new):
-    """One synchronous LPA step for one partition: returns ``(out, changed)``."""
+    """One synchronous LPA step for one partition: returns ``(out, changed)``.
+
+    The vote pool is the compile-time virtual array [local | remote-gather];
+    small-degree targets (almost all of a transcript graph) resolve through
+    the padded slot table, the rare big targets through the sort path —
+    identical total order either way."""
     vids = al["vids"]
     out = labels.copy()
-    pool_t, pool_l, pool_w = [], [], []
+    lab_parts = []
     if al["l_to"] is not None:
-        pool_t.append(np.asarray(al["l_to"]))
-        pool_l.append(labels[al["l_from"]])
-        pool_w.append(np.asarray(al["l_w"]))
+        lab_parts.append(labels[al["l_from"]])
     if al["r_src_pos"] is not None and len(rvids):
         hub_idx = np.searchsorted(rvids, al["r_dst_uniq"])
         hub_idx = np.minimum(hub_idx, len(rvids) - 1)
@@ -350,14 +557,20 @@ def _apply_lpa_kernel(labels, al, rvids, hub_prev, hub_new):
         if not ok.all():
             raise RuntimeError("lpa hub relay missing labels for some remote dsts")
         uniq_prev = hub_prev[hub_idx]
-        pool_t.append(np.asarray(al["r_src_pos"]))
-        pool_l.append(uniq_prev[al["r_hubcode"]])
-        pool_w.append(np.asarray(al["r_w"]))
-    if pool_t:
-        tpos, tlab = _winners(
-            np.concatenate(pool_t), np.concatenate(pool_l), np.concatenate(pool_w)
-        )
-        out[tpos] = tlab
+        lab_parts.append(uniq_prev[al["r_hubcode"]])
+    if lab_parts:
+        votes_lab = np.concatenate(lab_parts) if len(lab_parts) > 1 else lab_parts[0]
+        w_all = np.asarray(al["all_w"])
+        if al["p_targets"] is not None and len(al["p_targets"]):
+            out[np.asarray(al["p_targets"])] = _padded_winners(
+                votes_lab, w_all, np.asarray(al["p_slots"])
+            )
+        if al["b_to"] is not None and len(al["b_to"]):
+            b_idx = np.asarray(al["b_idx"])
+            tpos, tlab = _winners(
+                np.asarray(al["b_to"], dtype=np.int64), votes_lab[b_idx], w_all[b_idx]
+            )
+            out[tpos] = tlab
     if len(rvids):
         own_pos = np.searchsorted(vids, rvids)
         own_pos = np.minimum(own_pos, len(vids) - 1)
@@ -535,12 +748,32 @@ def _lpa_local_files_inner(
 
     params_path = os.path.join(store.root, run_id, "_lpa_superstep_params.json")
     update_df = pids.mapInPandas(_make_pass(static_dir, sd, store, run_id), schema=_LPA_SCHEMA)
-    winner_df = pids.mapInPandas(_make_winner_task(store, run_id), schema="h long, l long")
+    winner_df = pids.mapInPandas(
+        _make_winner_task(store, run_id), schema="h long, l long, s double"
+    )
 
     def _collect_winners(k: int, hubs: list[int]) -> dict[int, int]:
+        """Exact merge of the per-slice candidates: max Σw then min label.
+
+        ≤ P rows per hub arrive (one best per slice that saw the hub); the
+        merge is O(P × #hubs) driver-side NumPy — fine for role/tool hub
+        counts (this engine's transcript graphs). A graph with millions of
+        hubs would want one more reduce job before the driver; the slot
+        function already makes that a drop-in."""
         if not hubs:
             return {}
-        return {int(r["h"]): int(r["l"]) for r in winner_df.collect()}
+        rows = winner_df.collect()
+        if not rows:
+            return {}
+        h = np.fromiter((r["h"] for r in rows), dtype=np.int64, count=len(rows))
+        l = np.fromiter((r["l"] for r in rows), dtype=np.int64, count=len(rows))
+        sm = np.fromiter((r["s"] for r in rows), dtype=np.float64, count=len(rows))
+        order = np.lexsort((l, -sm, h))  # by hub, then sum desc, then label asc
+        hs_, ls_ = h[order], l[order]
+        first = np.empty(len(hs_), dtype=bool)
+        first[0] = True
+        np.not_equal(hs_[1:], hs_[:-1], out=first[1:])
+        return {int(a): int(b) for a, b in zip(hs_[first], ls_[first])}
 
     if start == 0:
         t0 = _time.monotonic()
@@ -675,9 +908,19 @@ def _lpa_local_files_inner(
         # publish hub-sliced vote segments; only P metrics rows come back.
         # job 2 — the winner job: per slot, read every partition's slice,
         # one groupby+stable-sort, return ≤ #hubs winner rows.
+        _ti = _time.monotonic()
         metrics_rows = [r.asDict() for r in update_df.collect()]
+        _tu = _time.monotonic()
         metrics, lineage, converged = _combine(metrics_rows, k)
         winners = _collect_winners(k, hubs)
+        if os.environ.get("TWSPARK_INSTR"):
+            import sys as _sys
+
+            print(
+                f"lpa-driver k={k} update {_tu - _ti:.2f}s "
+                f"winner {_time.monotonic() - _tu:.2f}s",
+                file=_sys.stderr,
+            )
         carry = {
             # next superstep's "previous" hub labels are the ones just written
             "hub_prev": {str(h): v for h, v in hub_new_d.items()},
@@ -707,6 +950,15 @@ def _make_pass(static_dir: str, sd: str, store: CheckpointStore, run_id: str):
     params_path = os.path.join(store.root, run_id, "_lpa_superstep_params.json")
 
     def task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _t
+
+        instr = os.environ.get("TWSPARK_INSTR")
+        marks: list = []
+
+        def mk(name, t0):
+            if instr:
+                marks.append((name, _t.perf_counter() - t0))
+
         prm = fsio.read_json(params_path)
         report_only = prm.get("mode") == "report0"
         prev_dir = prm["prev_dir"]
@@ -720,8 +972,10 @@ def _make_pass(static_dir: str, sd: str, store: CheckpointStore, run_id: str):
         for pdf in batches:
             for pid in pdf["pid"].to_numpy():
                 pid = int(pid)
+                t0 = _t.perf_counter()
                 al = _load_lpa_aligned(static_dir, sd, pid)
                 labels = _read_rank_part(prev_dir, pid, dtype=np.int64)
+                mk("read", t0)
                 if al is None or labels is None:
                     if len(rvids):
                         # an empty partition still publishes its (empty)
@@ -731,16 +985,23 @@ def _make_pass(static_dir: str, sd: str, store: CheckpointStore, run_id: str):
                 if report_only:
                     lab_now, hub_lab = labels, rvids
                 else:
+                    t0 = _t.perf_counter()
                     out, changed = _apply_lpa_kernel(labels, al, rvids, hub_prev, hub_new)
+                    mk("kernel", t0)
+                    t0 = _t.perf_counter()
                     _write_rank_part(next_dir, pid, out, recycle_dir)
                     macc.append({
                         "pid": pid, "n_rows": int(len(out)),
                         "checksum": int(al["crc"] ^ zlib.crc32(memoryview(out).cast("B"))),
                         "changed": changed, "h": None,
                     })
+                    mk("write", t0)
                     lab_now, hub_lab = out, hub_new
                 if len(rvids):
+                    t0 = _t.perf_counter()
                     hidx_p, h_p, l_p, w_p = _votes_on_hubs(lab_now, al, rvids, hub_lab)
+                    mk("votes_build", t0)
+                    t0 = _t.perf_counter()
                     if hidx_p:
                         _write_vote_files(
                             vdir, pid, P, kk,
@@ -751,8 +1012,13 @@ def _make_pass(static_dir: str, sd: str, store: CheckpointStore, run_id: str):
                         )
                     else:
                         _write_vote_files(vdir, pid, P, kk, None, [], [], [])
+                    mk("votes_write", t0)
         if macc:
             yield pd.DataFrame(macc)
+        if instr and marks:
+            with open(f"{instr}/lpa-{os.getpid()}.log", "a") as f:
+                for name, dt in marks:
+                    f.write(f"{name} {dt:.4f}\n")
 
     return task
 
@@ -765,11 +1031,16 @@ def _make_winner_task(store: CheckpointStore, run_id: str):
     params_path = os.path.join(store.root, run_id, "_lpa_superstep_params.json")
 
     def task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _t
+
+        instr = os.environ.get("TWSPARK_INSTR")
+        marks: list = []
         prm = fsio.read_json(params_path)
         kk, P, vdir = int(prm["superstep"]), int(prm["P"]), prm["vote_dir"]
         for pdf in batches:
             for j in pdf["pid"].to_numpy():
                 j = int(j)
+                t0 = _t.perf_counter()
                 hs, ls, ws = [], [], []
                 for i in range(P):
                     h, l, w = _read_vote_file(vdir, i, j, kk)
@@ -777,16 +1048,28 @@ def _make_winner_task(store: CheckpointStore, run_id: str):
                         hs.append(h)
                         ls.append(l)
                         ws.append(w)
+                if instr:
+                    marks.append(("win_read", _t.perf_counter() - t0))
                 if not hs:
                     continue
-                df = pd.DataFrame({
-                    "h": np.concatenate(hs),
-                    "l": np.concatenate(ls),
-                    "w": np.concatenate(ws),
-                })
-                g = df.groupby(["h", "l"], sort=False, as_index=False)["w"].sum()
-                g = g.sort_values(["h", "w", "l"], ascending=[True, False, True], kind="stable")
-                win = g.drop_duplicates("h")
-                yield pd.DataFrame({"h": win["h"].to_numpy(), "l": win["l"].to_numpy()})
+                t0 = _t.perf_counter()
+                h = np.concatenate(hs)
+                # dense-code the hub ids so _winners can pack (hub, label)
+                # into one radix-sortable int64 key; every (hub, label)
+                # pair's votes land WHOLLY in this slice (slot = hash of the
+                # pair), so the per-pair sums here are complete and this
+                # slice's per-hub best is an exact candidate for the global
+                # argmax the driver merges
+                h_uniq, hcode = np.unique(h, return_inverse=True)
+                wt, wl, wsum = _winners(
+                    hcode, np.concatenate(ls), np.concatenate(ws), return_sums=True
+                )
+                if instr:
+                    marks.append(("win_solve", _t.perf_counter() - t0))
+                yield pd.DataFrame({"h": h_uniq[wt], "l": wl, "s": wsum})
+        if instr and marks:
+            with open(f"{instr}/lpawin-{os.getpid()}.log", "a") as f:
+                for name, dt in marks:
+                    f.write(f"{name} {dt:.4f}\n")
 
     return task
