@@ -211,6 +211,9 @@ import json, sys, time
 sys.path.insert(0, {repo!r})
 import os
 os.environ["SPARK_GRAFT_MASTER"] = "local[{cores}]"
+# the wedge join shuffles ~45 GB at 233M edges: spill to DISK -- in tmpfs it
+# competes with the kernel stores for RAM and OOM-killed the JVM (round 5)
+os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/tmp/twspark-tri-local")
 from tiktok_whisper_spark.session import get_spark
 spark = get_spark(app_name="twspark-bench-tri-{cores}", master="local[{cores}]",
                   shuffle_partitions={partitions}, driver_memory={mem!r})

@@ -190,8 +190,23 @@ def _compile_lpa_aligned(static_dir: str, sd: str, pid: int, cdir: str) -> bool:
             out["b_to"] = ts[big_sel].astype(np.int32)
             out["b_idx"] = order[big_sel].astype(np.int32)
     os.makedirs(os.path.dirname(cdir), exist_ok=True)
+    # drop superseded compile versions for this pid: a version bump would
+    # otherwise leave the old arrays resident in the store forever (6.7 GB
+    # of orphaned v1 dirs contributed to a tmpfs OOM in round 5)
+    import glob as _glob
+    import shutil as _sh2
+
+    stem = os.path.basename(cdir).rsplit("-", 1)[0]
+    for old_dir in _glob.glob(os.path.join(os.path.dirname(cdir), f"{stem}-v*")):
+        if old_dir != cdir:
+            _sh2.rmtree(old_dir, ignore_errors=True)
     tmp = _tf.mkdtemp(dir=os.path.dirname(cdir), prefix="_lpaalign_")
+    # l_w and r_w are exactly all_w's two halves — reconstructed as views at
+    # load time instead of tripling the weight bytes on disk
+    skip = {"l_w", "r_w"} if "all_w" in out else set()
     for name, arr in out.items():
+        if name in skip:
+            continue
         np.save(os.path.join(tmp, f"{name}.npy"), np.ascontiguousarray(arr))
     open(os.path.join(tmp, "_OK"), "w").close()
     try:
@@ -223,6 +238,11 @@ def _load_lpa_aligned(static_dir: str, sd: str, pid: int):
     for name in _LPA_OPT:
         path = os.path.join(cdir, f"{name}.npy")
         ent[name] = np.load(path, mmap_mode="r") if os.path.exists(path) else None
+    if ent["all_w"] is not None and ent["l_w"] is None:
+        # weight halves come back as views of the stored all_w
+        n_local = len(ent["l_to"]) if ent["l_to"] is not None else 0
+        ent["l_w"] = ent["all_w"][:n_local] if n_local else None
+        ent["r_w"] = ent["all_w"][n_local:] if len(ent["all_w"]) > n_local else None
     _LPA_CACHE[key] = (compiled_generation(cdir), ent)
     return ent
 
