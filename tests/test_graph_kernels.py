@@ -736,3 +736,78 @@ def test_ppr_local_mode_matches_dataframe_and_oracle(spark, tmp_path):
     # ...and a global resume against a PPR run refuses too
     with pytest.raises(RuntimeError, match="teleport-seed"):
         pagerank(e_home, scatter_mode="local", store=store, run_id="ppr-l", resume=True)
+
+
+def _homed_df(spark, triples, home_of):
+    return spark.createDataFrame(
+        [
+            (int(s), int(d), float(w), int(home_of(s)), int(home_of(d)))
+            for s, d, w in triples
+        ],
+        "src long, dst long, weight double, src_home long, dst_home long",
+    )
+
+
+@pytest.mark.parametrize(
+    "name,home_of",
+    [
+        ("two_cliques", lambda v: v // 10),          # cliques co-homed: 3-local
+        ("two_cliques", lambda v: v),                # every vertex its own home: 0-local
+        ("two_cliques", lambda v: v % 2),            # mixed classes
+        ("hub_star", lambda v: 0 if v < 1000 else 1),
+        ("weighted", lambda v: v % 3),
+        ("cycle_dangling", lambda v: 0),
+    ],
+)
+def test_triangles_local_matches_plain_and_oracle(spark, name, home_of):
+    """The locality decomposition (3-local in-partition wedges, 1-local
+    remote-intersects, 0-local residual wedge join) must count exactly what
+    the plain path and the brute-force oracle count — totals AND per-vertex
+    — for co-homed, all-cross and mixed home assignments."""
+    from tiktok_whisper_spark.graph import triangle_counts_local
+
+    triples = GRAPHS[name]
+    df = _homed_df(spark, triples, home_of)
+    res = triangle_counts_local(df, num_partitions=8)
+    want_total, want_pv = triangle_oracle(triples)
+    assert res.total == want_total
+    got_pv = {r["vid"]: r["triangles"] for r in res.per_vertex.collect()}
+    assert got_pv == {v: c for v, c in want_pv.items() if c}
+    plain = triangle_counts(df.select("src", "dst", "weight"))
+    assert plain.total == res.total
+
+
+def test_triangles_local_one_local_pair_all_orientations(spark):
+    """1-local triangles must count regardless of which direction the cross
+    edges point (R deals every cross edge to both endpoint homes)."""
+    from tiktok_whisper_spark.graph import triangle_counts_local
+
+    # (1,2) co-homed; 9 in another home; vary cross-edge orientations
+    for e13, e23 in [((1, 9), (2, 9)), ((9, 1), (2, 9)), ((9, 1), (9, 2))]:
+        triples = [(1, 2, 1.0), (e13[0], e13[1], 1.0), (e23[0], e23[1], 1.0)]
+        df = _homed_df(spark, triples, lambda v: 0 if v < 9 else 1)
+        res = triangle_counts_local(df, num_partitions=4)
+        assert res.total == 1, triples
+        assert {r["vid"]: r["triangles"] for r in res.per_vertex.collect()} == {
+            1: 1, 2: 1, 9: 1,
+        }
+
+
+def test_triangles_local_transcript_graph(spark, tmp_path):
+    """Home-keyed transcript edges: locality path ≡ plain path ≡ oracle."""
+    from tiktok_whisper_spark import datagen
+    from tiktok_whisper_spark.graph import triangle_counts_local
+    from tiktok_whisper_spark.operators.edges import turn_adjacency_edges, turn_tool_edges
+
+    t = datagen.transcripts(spark, n_convs=80, seed=3)
+    e = (
+        turn_adjacency_edges(t, include_home=True)
+        .unionByName(turn_tool_edges(t, include_home=True))
+        .localCheckpoint()
+    )
+    res = triangle_counts_local(e, num_partitions=8)
+    triples = [(r["src"], r["dst"], r["weight"]) for r in e.collect()]
+    want_total, want_pv = triangle_oracle(triples)
+    assert res.total == want_total
+    got_pv = {r["vid"]: r["triangles"] for r in res.per_vertex.collect()}
+    assert got_pv == {v: c for v, c in want_pv.items() if c}

@@ -5,7 +5,7 @@ from .lpa import label_propagation
 from .metrics import modularity
 from .pagerank import pagerank
 from .runner import GraphRun, run_supersteps
-from .triangles import triangle_counts
+from .triangles import triangle_counts, triangle_counts_local
 
 __all__ = [
     "GraphRun",
@@ -16,4 +16,5 @@ __all__ = [
     "pagerank",
     "run_supersteps",
     "triangle_counts",
+    "triangle_counts_local",
 ]
