@@ -20,7 +20,7 @@ from collections import defaultdict
 
 import numpy as np
 
-__all__ = ["pagerank_oracle", "cc_oracle", "lpa_oracle", "triangle_oracle"]
+__all__ = ["pagerank_oracle", "cc_oracle", "kcore_oracle", "lpa_oracle", "triangle_oracle"]
 
 Edge = tuple[int, int, float]
 
@@ -154,3 +154,21 @@ def triangle_oracle(edges: list[Edge]) -> tuple[int, dict[int, int]]:
                     per_vertex[v] += 1
                     per_vertex[w_] += 1
     return total, {v: c for v, c in per_vertex.items() if c > 0}
+
+
+def kcore_oracle(edges: list[Edge], k: int) -> dict[int, int]:
+    """Exact k-core by sequential peeling: {vid: degree-in-core}."""
+    adj: dict[int, set[int]] = {}
+    for s, d_, _ in edges:
+        if s == d_:
+            continue
+        adj.setdefault(s, set()).add(d_)
+        adj.setdefault(d_, set()).add(s)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < k]:
+            for u in adj.pop(v):
+                adj[u].discard(v)
+            changed = True
+    return {v: len(ns) for v, ns in adj.items()}

@@ -811,3 +811,39 @@ def test_triangles_local_transcript_graph(spark, tmp_path):
     assert res.total == want_total
     got_pv = {r["vid"]: r["triangles"] for r in res.per_vertex.collect()}
     assert got_pv == {v: c for v, c in want_pv.items() if c}
+
+
+@pytest.mark.parametrize("name", list(GRAPHS))
+@pytest.mark.parametrize("k", [2, 3])
+def test_kcore_matches_oracle(spark, name, k):
+    """k-core peeling vs sequential-peel oracle: vertex set AND in-core
+    degrees, on cliques (k-core = K4 at k=3), hub stars (core collapses),
+    weighted digraphs, and cycles."""
+    from oracle.graph_oracle import kcore_oracle
+    from tiktok_whisper_spark.graph import kcore
+
+    triples = GRAPHS[name]
+    got = {r["vid"]: r["degree"] for r in kcore(_edges_df(spark, triples), k).collect()}
+    assert got == kcore_oracle(triples, k)
+
+
+def test_kcore_known_values(spark):
+    """Analytic: at k=3 the K3 dies and K4 survives whole; at k=4 nothing
+    survives; a chain's 2-core is empty (peels leaf-by-leaf to nothing)."""
+    from tiktok_whisper_spark.graph import kcore
+
+    df = _edges_df(spark, TWO_CLIQUES)
+    core3 = {r["vid"]: r["degree"] for r in kcore(df, 3).collect()}
+    assert core3 == {10: 3, 11: 3, 12: 3, 13: 3}
+    assert kcore(df, 4).count() == 0
+    chain = _edges_df(spark, [(i, i + 1, 1.0) for i in range(12)])
+    assert kcore(chain, 2).count() == 0
+
+
+def test_kcore_transcript_graph(spark, transcript_edges):
+    from oracle.graph_oracle import kcore_oracle
+    from tiktok_whisper_spark.graph import kcore
+
+    df, rows = transcript_edges
+    got = {r["vid"]: r["degree"] for r in kcore(df, 2).collect()}
+    assert got == kcore_oracle(rows, 2)

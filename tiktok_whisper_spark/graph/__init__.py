@@ -1,6 +1,7 @@
 """Link-graph kernels: PageRank, connected components, LPA, triangles."""
 
 from .cc import connected_components, connected_components_star
+from .kcore import kcore
 from .lpa import label_propagation
 from .metrics import modularity
 from .pagerank import pagerank
@@ -11,6 +12,7 @@ __all__ = [
     "GraphRun",
     "connected_components",
     "connected_components_star",
+    "kcore",
     "label_propagation",
     "modularity",
     "pagerank",
