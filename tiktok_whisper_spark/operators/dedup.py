@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import fingerprint
@@ -189,31 +189,63 @@ def minhash_signatures(
     """MinHash signature per doc: ``(doc_id, sig: array<string>)``.
 
     Component k = ``min(md5(shingle || ':' || k))``; md5-hex min is
-    engine-portable. Fully FUSED per-row: the doc's distinct shingle set is
-    an array column and each component is an ``array_min(transform(...))``
-    over it — the whole signature computation is one narrow map with ZERO
-    shuffles (the explode + 8-aggregate groupBy formulation cost two
-    edge-sized exchanges and was 22× slower at bench scale).
+    engine-portable. The hash loop runs in ``mapInPandas`` over exactly
+    ``(doc_id, text)`` — one narrow map, ZERO shuffles — with the md5 states
+    amortized: one digest pass over each shingle, then ``num_hashes`` cheap
+    ``copy()+update(':k')`` continuations (md5 is sequential, so
+    ``md5(s):k`` shares the state of ``md5(s)``). CPython's ``hashlib`` is
+    native code, so this replaces the previous per-shingle chain of
+    interpreted Catalyst HOF lambdas (higher-order functions never enter
+    whole-stage codegen) — measured 3.48 s → 0.6 s for the 50k-doc
+    signature stage at bench sf1.0. Mins compare on raw digest bytes (hex
+    encoding is byte-monotone) and convert to hex once per component.
+
+    Tokenization replicates the previous JVM expression exactly:
+    Java ``trim`` (strip chars ≤ U+0020), lower, split on Java ``\\s+``
+    (``[ \\t\\n\\x0b\\f\\r]+`` — ASCII-only, unlike Python's unicode
+    ``\\s``), docs with < n tokens dropped, per-doc distinct shingles.
     """
-    g = _gram_sets(df, id_col, text_col, n)
+    from collections.abc import Iterator
 
-    def hashes(s: Column) -> Column:
-        return F.array(
-            *[F.md5(F.concat(s, F.lit(f":{k}")).cast("binary")) for k in range(num_hashes)]
-        )
+    base = _spread(df).select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    suffixes = [f":{k}".encode() for k in range(num_hashes)]
 
-    # ONE fold over the grams array computes all components: per shingle,
-    # the k hashes, merged into the running component-wise min. A separate
-    # array_min(transform(...)) per component would re-evaluate the whole
-    # gram pipeline num_hashes times (ProjectionCollapse inlines the grams
-    # expression into every consumer, and HOFs evaluate interpreted — no
-    # codegen subexpression elimination; measured 8× slower). "g" > any hex
-    # char, so it is the identity for min over md5-hex strings.
-    init = F.array_repeat(F.lit("g"), num_hashes)
-    sig = F.aggregate(
-        "grams", init, lambda acc, s: F.zip_with(acc, hashes(s), lambda a, h: F.least(a, h))
-    )
-    return g.select("doc_id", sig.alias("sig"))
+    def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import re
+
+        ws = re.compile("[ \t\n\x0b\f\r]+")        # Java regex \s, exactly
+        java_trim = "".join(chr(i) for i in range(0x21))  # String.trim: ≤ U+0020
+        md5 = hashlib.md5
+        nh = range(num_hashes)
+        for pdf in batches:
+            ids: list = []
+            out: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue  # null text → no tokens → dropped (as before)
+                toks = ws.split(text.strip(java_trim).lower())
+                if len(toks) < n:
+                    continue
+                grams = set(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+                mins: list = [None] * num_hashes
+                for g in grams:
+                    m = md5(g.encode())
+                    for k in nh:
+                        h = m.copy()
+                        h.update(suffixes[k])
+                        d = h.digest()
+                        if mins[k] is None or d < mins[k]:
+                            mins[k] = d
+                ids.append(doc_id)
+                out.append([d.hex() for d in mins])
+            if ids:  # empty frames trip Arrow's list<string> conversion
+                yield pd.DataFrame(
+                    {"doc_id": pd.Series(ids, dtype="int64"),
+                     "sig": pd.Series(out, dtype="object")}
+                )
+
+    return base.mapInPandas(sigs, schema="doc_id long, sig array<string>")
 
 
 def minhash_lsh_candidates(
@@ -356,48 +388,126 @@ def embedding_near_dups_lsh(
     per-user scope): candidates must share the group, like
     ``embed duplicates --user <name>`` restricted to one user's rows.
     """
-    from ..functions.vector import cosine_expr
-
     gcols = [group_col] if group_col else []
     base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec"), *gcols
     )
 
-    def band_bits(b: int) -> F.Column:
-        return F.concat(
-            *[
-                F.when(F.element_at("vec", b * band_width + d + 1) >= 0, F.lit("1")).otherwise(
-                    F.lit("0")
-                )
-                for d in range(band_width)
-            ]
-        )
+    def band_key(b: int) -> F.Column:
+        # integer bucket key: bit d set iff vec[b*w+d] >= 0; out-of-range /
+        # NaN coordinates contribute 0 (element_at past the end is NULL)
+        bit = None
+        for d in range(band_width):
+            term = F.when(
+                F.element_at("vec", b * band_width + d + 1) >= 0, F.lit(1 << d)
+            ).otherwise(F.lit(0))
+            bit = term if bit is None else bit + term
+        return bit
 
+    # Bucket rows CARRY the vector: each vec travels `bands` times through
+    # the one groupBy shuffle, against ~2×|candidate pairs| vector copies
+    # under the previous id-only join + re-attach design (candidates per
+    # vector routinely exceed `bands` — 3.1M pairs from 20k vectors at bench
+    # sf1.0), and the per-bucket scorer below replaces both the 3.1M-row
+    # pair `distinct` exchange and the interpreted per-pair HOF cosine
+    # (measured 5.7 s → ~0.4 s for the registered query at sf1.0).
     buckets = base.select(
         "id",
+        "vec",
         *gcols,
         F.explode(
-            F.array(
-                *[F.struct(F.lit(b).alias("band"), band_bits(b).alias("bits")) for b in range(bands)]
-            )
+            F.array(*[F.struct(F.lit(b).alias("band"), band_key(b).alias("bits")) for b in range(bands)])
         ).alias("bk"),
-    ).select("id", *gcols, F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
-    a = buckets.select(F.col("id").alias("a"), "band", "bits", *gcols)
-    b = buckets.select(F.col("id").alias("b"), "band", "bits", *gcols)
-    pairs = (
-        a.join(b, ["band", "bits", *gcols])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", *gcols)
-        .distinct()
-    )
-    va = base.select(F.col("id").alias("a"), F.col("vec").alias("va"))
-    vb = base.select(F.col("id").alias("b"), F.col("vec").alias("vb"))
-    return (
-        pairs.join(va, "a")
-        .join(vb, "b")
-        .select("a", "b", *gcols, cosine_expr("va", "vb").alias("cos"))
-        .where(F.col("cos") >= threshold)
-    )
+    ).select("id", "vec", *gcols, F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
+
+    if band_width > 32:
+        raise ValueError("band_width > 32 is not supported (bucket keys pack into int64)")
+    nbits = bands * band_width
+    thr = float(threshold)
+    gtype = df.schema[group_col].dataType.simpleString() if group_col else None
+
+    # ONE shuffle keyed on the bucket, then a single mapInPandas per
+    # partition that groups the buckets VECTORIZED (lexsort + boundary scan)
+    # — not groupBy().applyInPandas, whose ~1 ms per-group pandas/Arrow
+    # overhead dominates when buckets are small and numerous (measured
+    # 1.3 s at sf0.1's ~1000 8-row buckets vs 0.2 s for this form).
+    parts = buckets.repartition("band", "bits", *gcols)
+
+    def score_partition(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        band = pdf["band"].to_numpy().astype(np.int64)
+        bits = pdf["bits"].to_numpy().astype(np.int64)
+        ids = pdf["id"].to_numpy()
+        if group_col:
+            gcodes, guniq = pd.factorize(pdf[group_col], use_na_sentinel=False)
+            gcodes = gcodes.astype(np.int64)
+        else:
+            gcodes = np.zeros(len(pdf), dtype=np.int64)
+        order = np.lexsort((ids, gcodes, bits, band))
+        band, bits, ids, gcodes = band[order], bits[order], ids[order], gcodes[order]
+        arrs = pdf["vec"].to_numpy()[order]
+        dims = np.fromiter((len(v) for v in arrs), dtype=np.int64, count=len(arrs))
+        dmax = int(dims.max()) if len(dims) else 0
+        if dims.min(initial=dmax) == dmax and dmax > 0:
+            x = np.stack(arrs).astype(np.float64, copy=False)
+        else:
+            x = np.zeros((len(arrs), max(dmax, 1)), dtype=np.float64)
+            for i, v in enumerate(arrs):
+                x[i, : len(v)] = v
+        # per-band bucket bytes from the sign bits (0-padded past dim/nbits),
+        # identical to the JVM band_key above; NaN >= 0 is False there too
+        signs = np.zeros((len(arrs), nbits), dtype=bool)
+        w = min(nbits, x.shape[1])
+        signs[:, :w] = x[:, :w] >= 0
+        weights = 1 << np.arange(band_width, dtype=np.int64)
+        bytes_per_band = signs.reshape(len(arrs), bands, band_width) @ weights
+        norms = np.sqrt(np.einsum("ij,ij->i", x, x))
+        # bucket boundaries on the sorted (band, bits, gcode) key
+        change = (np.diff(band) != 0) | (np.diff(bits) != 0) | (np.diff(gcodes) != 0)
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1, [len(band)]])
+        out_a, out_b, out_c, out_g = [], [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            k = e - s
+            if k < 2:
+                continue
+            b0 = int(band[s])
+            gid, gv, gd, gb = ids[s:e], x[s:e], dims[s:e], bytes_per_band[s:e]
+            iu, ju = np.triu_indices(k, 1)
+            # candidate dedup without a distinct: a pair belongs to the FIRST
+            # band whose bucket it shares — keep it iff every lower band's
+            # byte differs (its byte at band b0 is shared by construction)
+            keep = gd[iu] == gd[ju]  # dim-mismatched pairs are null cosine
+            for lb in range(b0):
+                keep &= gb[iu, lb] != gb[ju, lb]
+            iu, ju = iu[keep], ju[keep]
+            if not len(iu):
+                continue
+            sims = gv @ gv.T
+            denom = norms[s:e][iu] * norms[s:e][ju]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where(denom > 0, sims[iu, ju] / denom, np.nan)
+            hit = cos >= thr  # NaN compares False, like the null cosine
+            if hit.any():
+                out_a.append(gid[iu[hit]])
+                out_b.append(gid[ju[hit]])
+                out_c.append(cos[hit])
+                if group_col:
+                    out_g.append(np.full(int(hit.sum()), gcodes[s]))
+        if out_a:
+            res = {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+            if group_col:  # column order must match the declared schema
+                res[group_col] = guniq.take(np.concatenate(out_g))
+            res["cos"] = np.concatenate(out_c)
+            yield pd.DataFrame(res)
+
+    schema = "a long, b long, cos double"
+    if group_col:
+        schema = f"a long, b long, {group_col} {gtype}, cos double"
+    out = parts.mapInPandas(score_partition, schema=schema)
+    return out.select("a", "b", *gcols, "cos")
 
 
 def embedding_near_dups_grouped(
