@@ -228,3 +228,36 @@ def test_superstep_retry_recovers_transient_failure(spark, tmp_path, monkeypatch
     got = {r["vid"]: r["rank"] for r in run.state.collect()}
     want = {r["vid"]: r["rank"] for r in clean.state.collect()}
     assert got == want
+
+
+def test_ppr_resume_rebuilds_teleport_and_guards_seed_mismatch(spark, tmp_path):
+    """Distributed-mode PPR resume: the 't' teleport column is not persisted
+    (pure function of the seed set) and must be rebuilt by restore_fn; a
+    resume under a different teleport config must refuse, both mid-run and
+    after convergence (the converged short-circuit returns stored state)."""
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    edges = _edges_df(spark)
+    seeds = [1, 3]
+
+    full = pagerank(edges, store=store, run_id="pprfull", teleport_seeds=seeds)
+    assert full.converged
+
+    partial = pagerank(edges, store=store, run_id="ppr", teleport_seeds=seeds, max_iter=2)
+    assert not partial.converged
+    resumed = pagerank(edges, store=store, run_id="ppr", teleport_seeds=seeds, resume=True)
+    assert resumed.resumed_from == 2 and resumed.converged
+    got_full = {r["vid"]: r["rank"] for r in full.state.collect()}
+    got_res = {r["vid"]: r["rank"] for r in resumed.state.collect()}
+    np.testing.assert_allclose(
+        [got_res[v] for v in sorted(got_res)],
+        [got_full[v] for v in sorted(got_full)],
+        rtol=0, atol=1e-12,
+    )
+    # mid-run resume with a different seed set → refuse
+    partial2 = pagerank(edges, store=store, run_id="ppr2", teleport_seeds=seeds, max_iter=2)
+    assert not partial2.converged
+    with pytest.raises(RuntimeError, match="teleport-seed"):
+        pagerank(edges, store=store, run_id="ppr2", teleport_seeds=[2], resume=True)
+    # converged run_id resumed under GLOBAL teleport → refuse, not stale ranks
+    with pytest.raises(RuntimeError, match="teleport-seed"):
+        pagerank(edges, store=store, run_id="ppr", resume=True)

@@ -847,3 +847,19 @@ def test_kcore_transcript_graph(spark, transcript_edges):
     df, rows = transcript_edges
     got = {r["vid"]: r["degree"] for r in kcore(df, 2).collect()}
     assert got == kcore_oracle(rows, 2)
+
+
+def test_padded_winners_all_negative_weights():
+    """Pad slots are masked out of the argmax: with every real vote sum
+    negative, the winner must still be a real label (max sum, min-label
+    tie-break) — never the pad sentinel (the round-5 'weight-0 pads lose'
+    assumption broke exactly here)."""
+    from tiktok_whisper_spark.graph.lpa_local import _LAB_SENTINEL, _padded_winners
+
+    votes_lab = np.array([7, 9, 7, 9], dtype=np.int64)
+    w = np.array([-2.0, -1.0, -3.0, -3.0])
+    # target 0: sums 7→-2, 9→-1 → winner 9; target 1: tie at -3 → min label 7
+    slots = np.array([[0, 1, -1, -1], [2, 3, -1, -1]], dtype=np.int64)
+    out = _padded_winners(votes_lab, w, slots)
+    assert out[0] == 9 and out[1] == 7
+    assert _LAB_SENTINEL not in out

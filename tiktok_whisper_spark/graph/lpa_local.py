@@ -537,11 +537,14 @@ _LAB_SENTINEL = np.iinfo(np.int64).max
 def _padded_winners(votes_lab, w_all, slots, chunk: int = 1 << 16):
     """Winner label per slot-table row: max Σw then min label, computed with
     a fixed-width K² vectorized pass over the padded (label, weight)
-    matrices — no sort, no hash table, cache-blocked row chunks. Pads carry
-    weight 0 and a sentinel label, so they never win; duplicate label
-    columns produce identical sums and the min() tie-break still lands on
-    the right value. Summation order per column is m=0..K-1 (float caveat
-    as in the module docstring; integer weights exact)."""
+    matrices — no sort, no hash table, cache-blocked row chunks. Pad columns
+    are masked out of the argmax (their sum is forced to −inf), so they can
+    never win even when every real vote sum is negative — relying on the
+    pads' weight-0 sum "losing" would break for all-negative vote weights
+    and emit the sentinel as a label, diverging from the sort-path fallback.
+    Duplicate label columns produce identical sums and the min() tie-break
+    still lands on the right value. Summation order per column is m=0..K-1
+    (float caveat as in the module docstring; integer weights exact)."""
     n, K = slots.shape
     out = np.empty(n, dtype=np.int64)
     for lo in range(0, n, chunk):
@@ -553,6 +556,7 @@ def _padded_winners(votes_lab, w_all, slots, chunk: int = 1 << 16):
         SS = np.empty(L.shape)
         for j in range(K):
             SS[:, j] = ((L == L[:, j : j + 1]) * W).sum(axis=1)
+        SS[~valid] = -np.inf  # pads out of the argmax (all-negative-weight safe)
         smax = SS.max(axis=1, keepdims=True)
         out[lo : lo + chunk] = np.where(SS == smax, L, _LAB_SENTINEL).min(axis=1)
     return out

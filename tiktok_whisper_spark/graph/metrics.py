@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 __all__ = ["modularity"]
 
 
-def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def modularity(edges: DataFrame, labels: DataFrame, *, check_coverage: bool = False) -> DataFrame:
     """Newman modularity ``Q = e_in/2m − Σ_c (a_c/2m)²`` of a vertex
     partition, on the weighted undirected graph.
 
@@ -37,6 +37,14 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     ≥1 incident edge (isolated vertices have ``a_c = 0`` and contribute
     nothing to Q).
 
+    **Contract: ``labels`` must cover every non-isolated vertex.** The
+    endpoint joins are inner, so an edge with an unlabeled endpoint would be
+    silently dropped — deflating 2m and skewing Q with no error. Labels
+    produced by the engine's own LPA/CC runs over the same edge set cover
+    every vertex by construction; for externally supplied partitions pass
+    ``check_coverage=True`` to pay one extra count job that verifies no
+    edge was dropped and raises on mismatch.
+
     Returns a one-row DataFrame ``(n_communities:long, modularity:double)``,
     unrounded — callers comparing across engines apply their own rounding.
     """
@@ -50,9 +58,16 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
     la = labels.select(F.col("vid").alias("src"), F.col("label").alias("c_src"))
     lb = labels.select(F.col("vid").alias("dst"), F.col("label").alias("c_dst"))
+    joined = s.join(la, "src").join(lb, "dst")
+    if check_coverage:
+        n_s, n_j = s.count(), joined.count()
+        if n_s != n_j:
+            raise ValueError(
+                f"modularity: labels do not cover every non-isolated vertex "
+                f"({n_s - n_j} of {n_s} symmetrized edges dropped by the label join)"
+            )
     per_c = (
-        s.join(la, "src")
-        .join(lb, "dst")
+        joined
         .groupBy("c_src")
         .agg(
             F.sum("w").alias("a_c"),

@@ -163,10 +163,12 @@ def pagerank(
         raise ValueError("pagerank: empty edge set")
 
     seeds: list[int] | None = None
+    seed_crc: int | None = None
     if teleport_seeds is not None:
         seeds = sorted(set(int(s) for s in teleport_seeds))
         if not seeds:
             raise ValueError("pagerank: teleport_seeds is empty")
+        seed_crc = zlib.crc32(np.asarray(seeds, dtype=np.int64).tobytes())
         n_hit = vertices.where(F.col("vid").isin(seeds)).count()
         if n_hit != len(seeds):
             raise ValueError(
@@ -189,7 +191,7 @@ def pagerank(
                 .otherwise(F.lit(0.0))
                 .alias("t")
             )
-        return vertices.select(*cols), {}
+        return vertices.select(*cols), {"ppr_crc": seed_crc}
 
     def step_fn(state: DataFrame, carry: dict, k: int) -> DataFrame:
         d = damping
@@ -250,14 +252,33 @@ def pagerank(
             "edges_processed": num_edges,
             "n_vertices": n,
         }
-        return metrics, {"dangling_sum": dangling_sum}, converged
+        return metrics, {"dangling_sum": dangling_sum, "ppr_crc": seed_crc}, converged
 
     def restore_fn(loaded: DataFrame) -> DataFrame:
         # prev_rank is regenerated every superstep — not persisted (halves
-        # the durable write); rebuild the full schema on resume.
-        if "prev_rank" in loaded.columns:
-            return loaded
-        return loaded.select("vid", "rank", F.col("rank").alias("prev_rank"), "dangling")
+        # the durable write); the teleport column 't' is a pure function of
+        # the seed set, so it is rebuilt here too instead of being persisted.
+        out = loaded
+        if "prev_rank" not in out.columns:
+            out = out.select("vid", "rank", F.col("rank").alias("prev_rank"), "dangling")
+        if seeds is not None and "t" not in out.columns:
+            out = out.withColumn(
+                "t",
+                F.when(F.col("vid").isin(seeds), F.lit(1.0 / len(seeds)))
+                .otherwise(F.lit(0.0)),
+            )
+        return out
+
+    def resume_check_fn(carry: dict) -> None:
+        # mirror local mode's ppr_crc guard: a resume under a different
+        # teleport config (global vs PPR, or another seed set) would silently
+        # blend two different recurrences — refuse instead.
+        if carry.get("ppr_crc") != seed_crc:
+            raise RuntimeError(
+                f"cannot resume run {run_id!r}: committed with a different "
+                "teleport-seed set — resuming would silently blend two "
+                "different recurrences; use a fresh run_id"
+            )
 
     try:
         return run_supersteps(
@@ -273,6 +294,7 @@ def pagerank(
             checkpoint_every=checkpoint_every,
             checkpoint_cols=["vid", "rank", "dangling"],
             restore_fn=restore_fn,
+            resume_check_fn=resume_check_fn,
         )
     finally:
         if pe is not None:

@@ -180,6 +180,7 @@ def run_supersteps(
     partition_key: str = "vid",
     checkpoint_cols: list[str] | None = None,
     restore_fn: Callable[[DataFrame], DataFrame] | None = None,
+    resume_check_fn: Callable[[dict[str, Any]], None] | None = None,
 ) -> GraphRun:
     """Drive ``step_fn`` to convergence with per-superstep atomic commits.
 
@@ -220,6 +221,11 @@ def run_supersteps(
             if latest is not None:
                 man = store.manifest(run_id, latest)
                 carry = man["carry"]
+                if resume_check_fn is not None:
+                    # kernel-level compatibility guard (e.g. PPR teleport-seed
+                    # fingerprint) — must run BEFORE the converged short-circuit
+                    # below, or a mismatched config silently returns stale ranks
+                    resume_check_fn(carry)
                 history = store.metrics_history(run_id)
                 loaded = store.load_state(spark, run_id, latest)
                 if restore_fn is not None:

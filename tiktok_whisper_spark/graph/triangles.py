@@ -101,14 +101,29 @@ def triangle_counts(
     e1 = o.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
     e2_all = o.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
 
-    # a wedge center must have an oriented in-edge AND out-edge; if no vertex
-    # does (e.g. any bipartite graph once degree-oriented), the count is 0 --
-    # skip the joins entirely (one tiny semi-join instead of shuffling the
-    # whole edge set through the wedge machinery)
-    has_center = (
-        e2_all.join(e1.select("v").distinct(), "v", "left_semi").limit(1).count()
+    # ONE stats job (union + groupBy over the persisted oriented edges)
+    # answers everything the orchestration needs before the wedge join:
+    # (a) does any wedge center exist — a vertex with an oriented out-edge
+    #     (od>0) that also appears as some edge's hi (mn=0); if none (e.g.
+    #     any bipartite graph once degree-oriented) the count is 0 and the
+    #     wedge machinery is skipped entirely;
+    # (b) the mean oriented out-degree for the data-driven hub cutoff;
+    # (c) the max out-degree — when max ≤ threshold no hot center exists,
+    #     so the hot persist+count job and the split plan are skipped
+    #     outright on hubless graphs.
+    # Round 5 ran (a) and (b) and the hot count as three separate jobs.
+    per_v = (
+        o.select(F.col("lo").alias("v"), F.lit(1).alias("r"))
+        .unionByName(o.select(F.col("hi").alias("v"), F.lit(0).alias("r")))
+        .groupBy("v")
+        .agg(F.sum("r").alias("od"), F.min("r").alias("mn"))
     )
-    if not has_center:
+    srow = per_v.agg(
+        F.count(F.when((F.col("od") > 0) & (F.col("mn") == 0), 1)).alias("centers"),
+        F.avg(F.when(F.col("od") > 0, F.col("od"))).alias("m"),
+        F.max("od").alias("mx"),
+    ).collect()[0]
+    if not srow["centers"]:
         spark = edges.sparkSession
         o.unpersist()
         return TriangleResult(
@@ -117,14 +132,15 @@ def triangle_counts(
 
     hot = None
     if hub_split:
-        odeg = o.groupBy("lo").agg(F.count(F.lit(1)).alias("odeg"))
         if hub_threshold is None:
-            mean_deg = odeg.agg(F.avg("odeg")).collect()[0][0] or 0.0
-            hub_threshold = max(int(10 * mean_deg), 64)
-        hot = odeg.where(F.col("odeg") > hub_threshold).select(F.col("lo").alias("hv")).persist()
-        if hot.count() == 0:
-            hot.unpersist()
-            hot = None
+            hub_threshold = max(int(10 * (srow["m"] or 0.0)), 64)
+        if (srow["mx"] or 0) > hub_threshold:
+            hot = (
+                per_v.where(F.col("od") > hub_threshold)
+                .select(F.col("v").alias("hv"))
+                .persist()
+            )
+            hot.count()
 
     if hot is None:
         wedges = e1.join(e2_all, "v").select("u", "v", "w")
@@ -283,7 +299,11 @@ def triangle_counts_local(
     ab = fdf.mapInPandas(count_files, schema="vid long, cnt long")
     per_vertex_ab = ab.groupBy("vid").agg(F.sum("cnt").alias("triangles")).persist()
     total_ab3 = per_vertex_ab.agg(F.sum("triangles")).collect()[0][0] or 0
-    assert total_ab3 % 3 == 0, "per-vertex increments must be 3 per triangle"
+    if total_ab3 % 3:  # exactness invariant; must survive python -O (no assert)
+        raise RuntimeError(
+            "triangle_counts_local: per-vertex increments must be 3 per "
+            f"triangle (got Σ={total_ab3})"
+        )
     total = total_ab3 // 3
 
     # ---- 0-local residual: triangles of the cross-only subgraph

@@ -254,45 +254,75 @@ def minhash_lsh_candidates(
     """LSH banding: pairs sharing ≥1 band: ``(a, b, est_jaccard)``.
 
     est_jaccard = fraction of equal signature components — the MinHash
-    estimator. Candidate generation is a bucket equi-join (shuffle on the
-    band hash), never all-pairs.
-    """
-    # Band join on ids ONLY: carrying the full sig arrays through the bucket
-    # join + distinct would shuffle every signature once per band and dedup
-    # on wide rows. Ids are joined/deduped first; signatures re-attach after.
-    buckets = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws("|", F.slice("sig", b * rows_per_band + 1, rows_per_band)).cast("binary")
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
+    estimator. Candidate generation stays bucketed (never all-pairs): each
+    signature row is replicated once per band and hash-partitioned on its
+    band's slice, then ONE ``mapInPandas`` pass groups the buckets
+    vectorized (lexsort + boundary scan) and scores pairs in place. A pair
+    belongs to the FIRST band whose bucket it shares — every earlier band's
+    slice differs — so pairs are emitted exactly once with NO ``distinct``
+    exchange, and the signatures ride the single shuffle, replacing the
+    previous id-only band self-join + pair distinct + two signature
+    re-attach joins (4 joins/exchanges → 1 exchange)."""
+    r = rows_per_band
+    replicated = sigs.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band"),
+    )
+    # partition key = the band's signature slice itself (components are
+    # fixed-width md5 hex, so concat_ws equality ⟺ slice equality); grouping
+    # inside the partition re-compares the full components, so key collisions
+    # across buckets that share a partition are impossible by construction
+    parts = replicated.repartition(
+        F.col("band"),
+        F.concat_ws("|", F.slice("sig", F.col("band") * r + 1, F.lit(r))),
+    )
+
+    def score_partition(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        comp = np.array([list(s) for s in pdf["sig"]], dtype="U32")  # (n, H)
+        nh = comp.shape[1]
+        band = pdf["band"].to_numpy().astype(np.int64)
+        ids = pdf["doc_id"].to_numpy()
+        # bucket key = (band, its slice components); full-width comparisons
+        slice_cols = [comp[np.arange(len(pdf)), band * r + j] for j in range(r)]
+        order = np.lexsort((ids, *reversed(slice_cols), band))
+        band, ids, comp = band[order], ids[order], comp[order]
+        keys = [c[order] for c in slice_cols]
+        change = np.diff(band) != 0
+        for kk in keys:
+            change |= kk[1:] != kk[:-1]
+        starts = np.concatenate([[0], np.flatnonzero(change) + 1, [len(band)]])
+        out_a, out_b, out_e = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            k = e - s
+            if k < 2:
+                continue
+            b0 = int(band[s])
+            gid, gc = ids[s:e], comp[s:e]
+            iu, ju = np.triu_indices(k, 1)
+            keep = np.ones(len(iu), dtype=bool)
+            for lb in range(b0):  # first-matching-band dedup
+                keep &= ~np.all(
+                    gc[iu, lb * r : (lb + 1) * r] == gc[ju, lb * r : (lb + 1) * r],
+                    axis=1,
+                )
+            iu, ju = iu[keep], ju[keep]
+            if not len(iu):
+                continue
+            eq = (gc[iu] == gc[ju]).sum(axis=1)
+            out_a.append(np.minimum(gid[iu], gid[ju]))
+            out_b.append(np.maximum(gid[iu], gid[ju]))
+            out_e.append(eq / float(nh))
+        if out_a:
+            yield pd.DataFrame(
+                {"a": np.concatenate(out_a), "b": np.concatenate(out_b),
+                 "est_jaccard": np.concatenate(out_e)}
             )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
-    a = buckets.select(F.col("doc_id").alias("a"), "band", "bhash")
-    b = buckets.select(F.col("doc_id").alias("b"), "band", "bhash")
-    pairs = (
-        a.join(b, ["band", "bhash"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    sig_a = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
-    sig_b = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
-    pairs = pairs.join(sig_a, "a").join(sig_b, "b")
-    matches = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
-    )
-    return pairs.select(
-        "a", "b", (matches.cast("double") / F.size("sig_a").cast("double")).alias("est_jaccard")
-    )
+
+    return parts.mapInPandas(score_partition, schema="a long, b long, est_jaccard double")
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

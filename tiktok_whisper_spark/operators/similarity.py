@@ -53,13 +53,45 @@ def knn_search(
 
     The threshold filter mirrors ``1 - (emb <=> $1) >= $t``
     (``search_helpers.go:60-61``).
+
+    Scoring is one NumPy matvec per Arrow batch inside ``mapInPandas``: the
+    Catalyst HOF form (``aggregate``/``zip_with``) never enters whole-stage
+    codegen, and the null-guard filter duplicated the full interpreted
+    cosine into Filter AND Project (~6 interpreted 64-element folds per
+    row). Null semantics match ``cosine_expr`` exactly: rows with a dim
+    mismatch or a zero norm (or a zero-norm query) produce no output, like
+    the previous ``isNotNull`` filter.
     """
-    q = F.array(*[F.lit(float(x)) for x in query])
-    scored = df.select(
-        F.col(id_col).alias("id"), cosine_expr(F.col(vec_col), q).alias("similarity")
-    ).where(F.col("similarity").isNotNull())
-    if threshold is not None:
-        scored = scored.where(F.col("similarity") >= threshold)
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    idtype = df.schema[id_col].dataType.simpleString()
+    data = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf) or qn <= 0:
+                continue
+            vecs = pdf["vec"].to_numpy()
+            dims = np.fromiter(
+                (len(v) if v is not None else -1 for v in vecs),
+                dtype=np.int64, count=len(vecs),
+            )
+            ok = dims == len(q)
+            if not ok.any():
+                continue
+            x = np.stack(vecs[ok]).astype(np.float64)
+            norms = np.sqrt(np.einsum("ij,ij->i", x, x))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = (x @ q) / (norms * qn)
+            good = norms > 0  # NaN norms (null elements) compare False too
+            if threshold is not None:
+                good &= cos >= threshold
+            if good.any():
+                yield pd.DataFrame(
+                    {"id": pdf["id"].to_numpy()[ok][good], "similarity": cos[good]}
+                )
+
+    scored = data.mapInPandas(score, schema=f"id {idtype}, similarity double")
     # orderBy+limit → TakeOrderedAndProject (distributed per-partition top-k
     # then driver merge), never the single-partition global window.
     return scored.orderBy(F.col("similarity").desc(), F.col("id").asc()).limit(k)

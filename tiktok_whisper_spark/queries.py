@@ -582,16 +582,14 @@ def dedup_minhash_signatures_q(spark, sf_dir):
     "SELECT a, b, round((eq / 8.0) + 1e-9, 6) AS est_jaccard FROM pairs",
 )
 def dedup_minhash_lsh_q(spark, sf_dir):
-    # EAGER localCheckpoint of the (small, doc-sized) signature relation: it
-    # feeds the band join AND both sides of the signature re-attach, and —
-    # more importantly — join-key null-filter pushdown would otherwise
-    # inline the whole gram+md5 pipeline into per-branch predicates (with
-    # the token split re-evaluated per array element — measured ~8× the
-    # signature job itself). Materializing from the clean linear plan first
-    # makes the LSH stages run over truncated lineage.
+    # Single linear plan: signatures (one mapInPandas pass) feed exactly ONE
+    # consumer now — the banded repartition + in-partition scorer — so the
+    # round-5 localCheckpoint barrier (needed when the band self-join +
+    # signature re-attach consumed sigs three times) is gone along with its
+    # eager materialization.
     sigs = dedup.minhash_signatures(
         load(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=8
-    ).localCheckpoint(eager=True)
+    )
     out = dedup.minhash_lsh_candidates(sigs, bands=4, rows_per_band=2)
     return out.select("a", "b", _r6("est_jaccard").alias("est_jaccard"))
 
@@ -1027,10 +1025,13 @@ def graph_cc_star_labels(spark, sf_dir):
 )
 def graph_triangle_count(spark, sf_dir):
     """Global triangle count over the part co-occurrence graph (id-invariant),
-    routed through the heavy-hitter split path (``hub_split`` with a low
-    cutoff so hot wedge centers exist at driver scale) — the 10^12-edge
-    escape hatch for wedge-join skew is what the oracle verifies here; the
-    plain wedge join stays pytest-verified against the same counts."""
+    with the heavy-hitter split armed at its data-driven cutoff (10× the mean
+    oriented out-degree, ``triangles.py``) — the 10^12-edge escape hatch
+    engages only when a genuinely hot wedge center exists. Hot-path counting
+    exactness is pytest-verified at forced low thresholds
+    (``test_triangles_hub_split_matches_plain``); a hardcoded ``hub_
+    threshold=4`` here misclassified ordinary centers as hot at bench scale
+    and tripled the sf0.1 time (round-5 regression)."""
     li = (
         load(spark, sf_dir, "lineitem")
         .where(F.col("l_partkey") % 5 == 0)
@@ -1038,14 +1039,16 @@ def graph_triangle_count(spark, sf_dir):
     )
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    # no .distinct() here: rows already satisfy src < dst, and the kernel's
+    # canonical-edge dedup (one exchange) covers duplicates — a second
+    # distinct exchange bought nothing
     edges = (
         a.join(b, "ok")
         .where(F.col("pa") < F.col("pb"))
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .distinct()
         .withColumn("weight", F.lit(1.0))
     )
-    res = triangle_counts(edges, hub_split=True, hub_threshold=4)
+    res = triangle_counts(edges, hub_split=True, assume_canonical=True)
     return spark.createDataFrame([(res.total,)], "n_triangles long")
 
 

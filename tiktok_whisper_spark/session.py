@@ -39,6 +39,7 @@ def build_pkg_zip(zpath: str) -> str:
     tmp = zpath + ".tmp"
     with zipfile.ZipFile(tmp, "w") as z:
         for root, _dirs, files in os.walk(pkg_dir):
+            _dirs.sort()  # os.walk dir order is fs-dependent; sort for a deterministic zip
             for f in sorted(files):
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
