@@ -243,6 +243,29 @@ def _load_lpa_aligned(static_dir: str, sd: str, pid: int):
         n_local = len(ent["l_to"]) if ent["l_to"] is not None else 0
         ent["l_w"] = ent["all_w"][:n_local] if n_local else None
         ent["r_w"] = ent["all_w"][n_local:] if len(ent["all_w"]) > n_local else None
+    # ---- degree-class split of the padded slot table (derived at load, not
+    # stored): slot rows fill left-to-right, so a target with cnt votes keeps
+    # all of them in the first cnt columns — truncated K∈{2,4,8} sub-tables
+    # compute identical winners while the K² pass costs K²/64 of the full
+    # table. A transcript graph averages ~2 votes/target (two adjacency
+    # neighbours), so the flat K=8 table was ~16× more memory traffic than
+    # the votes needed — measured 1.93 s → ~0.4 s per partition kernel.
+    if ent["p_targets"] is not None and len(ent["p_targets"]):
+        slots8 = np.asarray(ent["p_slots"])
+        tg8 = np.asarray(ent["p_targets"])
+        cnt8 = (slots8 >= 0).sum(axis=1)
+        classes = []
+        lo = 0
+        for kk in (2, 4, slots8.shape[1]):
+            m = (cnt8 > lo) & (cnt8 <= kk)
+            if m.any():
+                classes.append(
+                    (np.ascontiguousarray(tg8[m]), np.ascontiguousarray(slots8[m, :kk]))
+                )
+            lo = kk
+        ent["p_classes"] = classes
+    else:
+        ent["p_classes"] = None
     _LPA_CACHE[key] = (compiled_generation(cdir), ent)
     return ent
 
@@ -439,6 +462,27 @@ def _reduce_votes(hidx, h, l, w):
     hidx = np.asarray(hidx, dtype=np.int64)
     l = np.asarray(l, dtype=np.int64)
     w = np.asarray(w, dtype=np.float64)
+    # tier 1 (same tiering as _winners): when (hub, raw-label-span) packs
+    # into int64, sort the packed key directly — the previous unconditional
+    # np.unique(l) was itself a full sort of the raw vote labels, i.e. the
+    # reduce paid TWO O(n log n) passes where one suffices
+    lmin = int(l.min())
+    span = int(l.max()) - lmin + 1
+    if (int(hidx.max()) + 1) * span < 2**62:
+        key = hidx * np.int64(span) + (l - lmin)
+        order = np.argsort(key, kind="stable")  # radix for ints — O(n), no random access
+        ks = key[order]
+        first = np.empty(len(ks), dtype=bool)
+        first[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(w[order], starts)
+        return (
+            hidx[order][starts],
+            np.asarray(h)[order][starts],
+            l[order][starts],
+            sums,
+        )
     lu, lc = np.unique(l, return_inverse=True)
     if (int(hidx.max()) + 1) * len(lu) >= 2**62:
         order = np.lexsort((lc, hidx))
@@ -562,15 +606,38 @@ def _padded_winners(votes_lab, w_all, slots, chunk: int = 1 << 16):
     return out
 
 
-def _apply_lpa_kernel(labels, al, rvids, hub_prev, hub_new):
+def _padded_winners_pair(votes_lab, w_all, slots2):
+    """Direct winner for the ≤2-vote class (the bulk of a transcript graph):
+    no K² loop, no chunking — a handful of vectorized ops. Total order
+    matches _padded_winners exactly: same label → that label (sum w0+w1 in
+    slot order, only candidate); different labels → larger weight wins,
+    equal weights → min label; a single vote wins outright."""
+    i0 = slots2[:, 0]
+    has1 = slots2[:, 1] >= 0
+    i1 = np.where(has1, slots2[:, 1], i0)
+    l0, l1 = votes_lab[i0], votes_lab[i1]
+    w0, w1 = w_all[i0], w_all[i1]
+    same = l0 == l1  # includes the single-vote rows (i1 == i0)
+    return np.where(
+        same | ~has1,
+        l0,
+        np.where(w1 > w0, l1, np.where(w0 > w1, l0, np.minimum(l0, l1))),
+    )
+
+
+def _apply_lpa_kernel(labels, al, rvids, hub_prev, hub_new, mk=None):
     """One synchronous LPA step for one partition: returns ``(out, changed)``.
 
     The vote pool is the compile-time virtual array [local | remote-gather];
     small-degree targets (almost all of a transcript graph) resolve through
     the padded slot table, the rare big targets through the sort path —
     identical total order either way."""
+    import time as _t
+
+    _mk = mk or (lambda name, t0: None)
     vids = al["vids"]
     out = labels.copy()
+    t0 = _t.perf_counter()
     lab_parts = []
     if al["l_to"] is not None:
         lab_parts.append(labels[al["l_from"]])
@@ -582,19 +649,34 @@ def _apply_lpa_kernel(labels, al, rvids, hub_prev, hub_new):
             raise RuntimeError("lpa hub relay missing labels for some remote dsts")
         uniq_prev = hub_prev[hub_idx]
         lab_parts.append(uniq_prev[al["r_hubcode"]])
+    _mk("k_gather", t0)
     if lab_parts:
         votes_lab = np.concatenate(lab_parts) if len(lab_parts) > 1 else lab_parts[0]
         w_all = np.asarray(al["all_w"])
-        if al["p_targets"] is not None and len(al["p_targets"]):
+        if al.get("p_classes"):
+            # degree-class sub-tables (see _load_lpa_aligned): same winners,
+            # K²-pass cost proportional to each class's true vote width
+            t0 = _t.perf_counter()
+            for ctg, cslots in al["p_classes"]:
+                if cslots.shape[1] == 2:
+                    out[ctg] = _padded_winners_pair(votes_lab, w_all, cslots)
+                else:
+                    out[ctg] = _padded_winners(votes_lab, w_all, cslots)
+            _mk("k_padded", t0)
+        elif al["p_targets"] is not None and len(al["p_targets"]):
+            t0 = _t.perf_counter()
             out[np.asarray(al["p_targets"])] = _padded_winners(
                 votes_lab, w_all, np.asarray(al["p_slots"])
             )
+            _mk("k_padded", t0)
         if al["b_to"] is not None and len(al["b_to"]):
+            t0 = _t.perf_counter()
             b_idx = np.asarray(al["b_idx"])
             tpos, tlab = _winners(
                 np.asarray(al["b_to"], dtype=np.int64), votes_lab[b_idx], w_all[b_idx]
             )
             out[tpos] = tlab
+            _mk("k_sort", t0)
     if len(rvids):
         own_pos = np.searchsorted(vids, rvids)
         own_pos = np.minimum(own_pos, len(vids) - 1)
@@ -1010,7 +1092,9 @@ def _make_pass(static_dir: str, sd: str, store: CheckpointStore, run_id: str):
                     lab_now, hub_lab = labels, rvids
                 else:
                     t0 = _t.perf_counter()
-                    out, changed = _apply_lpa_kernel(labels, al, rvids, hub_prev, hub_new)
+                    out, changed = _apply_lpa_kernel(
+                        labels, al, rvids, hub_prev, hub_new, mk=mk if instr else None
+                    )
                     mk("kernel", t0)
                     t0 = _t.perf_counter()
                     _write_rank_part(next_dir, pid, out, recycle_dir)
