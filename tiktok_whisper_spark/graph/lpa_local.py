@@ -507,12 +507,39 @@ def _reduce_votes(hidx, h, l, w):
 
 def _write_vote_files(vdir: str, pid: int, P: int, k: int, hidx, h, l, w) -> None:
     if len(h):
-        hidx, h, l, w = _reduce_votes(hidx, h, l, w)
-        j_all = _vote_slot(hidx, l, P)
-        order = np.argsort(j_all, kind="stable")
-        j_sorted = j_all[order]
-        h, l, w = h[order], l[order], np.asarray(w, dtype=np.float64)[order]
-        bounds = np.searchsorted(j_sorted, np.arange(P + 1))
+        hidx = np.asarray(hidx, dtype=np.int64)
+        l = np.asarray(l, dtype=np.int64)
+        w = np.asarray(w, dtype=np.float64)
+        lmin = int(l.min())
+        span = int(l.max()) - lmin + 1
+        m_span = (int(hidx.max()) + 1) * span
+        if m_span < 2**62 // max(P, 1):
+            # fused path: ONE radix argsort of slot·M + (hub·span + label)
+            # groups by winner slot AND orders (hub, label) within it — the
+            # separate reduce-sort + slot-sort each re-sorted ~|raw votes|
+            # rows in the diverse-label regime (no reduction to amortize
+            # the second pass). Same per-(hub,label) partial sums: stable
+            # order keeps duplicate rows in original sequence, as before.
+            j_raw = _vote_slot(hidx, l, P)
+            key = j_raw * np.int64(m_span) + hidx * np.int64(span) + (l - lmin)
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            first = np.empty(len(ks), dtype=bool)
+            first[0] = True
+            np.not_equal(ks[1:], ks[:-1], out=first[1:])
+            starts = np.flatnonzero(first)
+            wsum = np.add.reduceat(w[order], starts)
+            h = np.asarray(h)[order][starts]
+            l = l[order][starts]
+            w = wsum
+            bounds = np.searchsorted(ks[starts] // np.int64(m_span), np.arange(P + 1))
+        else:
+            hidx, h, l, w = _reduce_votes(hidx, h, l, w)
+            j_all = _vote_slot(hidx, l, P)
+            order = np.argsort(j_all, kind="stable")
+            j_sorted = j_all[order]
+            h, l, w = h[order], l[order], np.asarray(w, dtype=np.float64)[order]
+            bounds = np.searchsorted(j_sorted, np.arange(P + 1))
     else:
         h = l = np.empty(0, dtype=np.int64)
         w = np.empty(0, dtype=np.float64)
